@@ -1,0 +1,382 @@
+"""Index configuration: two-tier split of data-format vs operational parameters.
+
+Mirrors the reference's config system (config/VectorIndexConfig.java:18-710,
+config/WorkerConfig.java:22-455, config/GlobalTaskQueueConfig.java:18-48):
+
+- **Data-format params** (dimension, metric, max_segment_size, pq_m, pq_k,
+  graph_degree, oversample, graph_build_breadth, graph_alpha) are persisted in
+  IndexMeta and immutable — reopening with a mismatch raises.
+- **Operational params** (worker threads, TTLs, batch sizes, compaction weights,
+  chunk limits, cache sizes) live only in process config / WorkerConfig and may
+  differ per process.
+- Per-call search tuning is the third tier (params.SearchParams).
+
+TPU-specific additions live at the end of VectorIndexConfig (device/mesh
+placement, PQ training iterations/seed, query batching) — these are operational.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+
+class Metric:
+    """Distance metric (reference: config/VectorIndexConfig.java Metric enum)."""
+
+    L2 = "L2"
+    COSINE = "COSINE"
+
+    _ALL = (L2, COSINE)
+
+    @staticmethod
+    def validate(m: str) -> str:
+        if m not in Metric._ALL:
+            raise ValueError(f"metric must be one of {Metric._ALL}, got {m!r}")
+        return m
+
+
+def _system_clock_ms() -> int:
+    return int(time.time() * 1000)
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkerConfig:
+    """Operational-only settings, shared by indices and global workers
+    (reference: config/WorkerConfig.java:22-129).
+
+    Also carries data-format *fallback defaults* used by global workers when a
+    persisted IndexMeta has 0-valued fields (reference: WorkerConfig.java:282-289).
+    """
+
+    estimated_worker_count: int = 1
+    local_worker_threads: int = 0
+    local_maintenance_worker_threads: int = 0
+    max_concurrent_compactions: int = 1
+    vacuum_cooldown_s: float = 0.0
+    vacuum_min_deleted_ratio: float = 0.25
+    default_ttl_s: float = 300.0
+    default_throttle_s: float = 1.0
+    clock_ms: Callable[[], int] = _system_clock_ms  # injectable InstantSource analogue
+    codebook_batch_load_size: int = 10_000
+    adjacency_batch_load_size: int = 10_000
+    prefetch_codebooks_enabled: bool = True
+    prefetch_codebooks_sync: bool = False
+    auto_find_compaction_candidates: bool = True
+    compaction_min_segments: int = 2
+    compaction_max_segments: int = 8
+    compaction_min_fragmentation: float = 0.1
+    compaction_age_bias_weight: float = 0.3
+    compaction_size_bias_weight: float = 0.5
+    compaction_frag_bias_weight: float = 0.2
+    # Host<->device transfer chunking budget during segment build persist —
+    # the analogue of the reference's FDB txn-size budget
+    # (reference: VectorIndexConfig.java buildTxnLimitBytes/softRatio/sizeCheckEvery).
+    build_chunk_limit_bytes: int = 10 * 1024 * 1024
+    build_chunk_soft_limit_ratio: float = 0.9
+    build_size_check_every: int = 32
+    metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
+
+    # Data-format fallback defaults for global workers reconstructing configs
+    # from persisted IndexMeta with missing optional fields.
+    default_graph_build_breadth: int = 256
+    default_graph_alpha: float = 1.2
+
+    def __post_init__(self):
+        if self.estimated_worker_count <= 0:
+            raise ValueError("estimatedWorkerCount must be positive")
+        if self.local_worker_threads < 0:
+            raise ValueError("localWorkerThreads must be >= 0")
+        if self.local_maintenance_worker_threads < 0:
+            raise ValueError("localMaintenanceWorkerThreads must be >= 0")
+        if self.max_concurrent_compactions < 0:
+            raise ValueError("maxConcurrentCompactions must be >= 0")
+        if self.vacuum_cooldown_s < 0:
+            raise ValueError("vacuumCooldown must be >= 0")
+        if not (0.0 <= self.vacuum_min_deleted_ratio <= 1.0):
+            raise ValueError("vacuumMinDeletedRatio must be in [0,1]")
+        if self.default_ttl_s <= 0:
+            raise ValueError("defaultTtl must be positive")
+        if self.default_throttle_s < 0:
+            raise ValueError("defaultThrottle must not be negative")
+        if self.clock_ms is None:
+            raise ValueError("instantSource must not be null")
+        if self.codebook_batch_load_size <= 0:
+            raise ValueError("codebookBatchLoadSize must be positive")
+        if self.adjacency_batch_load_size <= 0:
+            raise ValueError("adjacencyBatchLoadSize must be positive")
+        if self.compaction_min_segments < 2:
+            raise ValueError("compactionMinSegments must be >= 2")
+        if self.compaction_max_segments < self.compaction_min_segments:
+            raise ValueError("compactionMaxSegments must be >= compactionMinSegments")
+        if not (0.0 <= self.compaction_min_fragmentation <= 1.0):
+            raise ValueError("compactionMinFragmentation must be in [0,1]")
+        if self.compaction_age_bias_weight < 0:
+            raise ValueError("compactionAgeBiasWeight must be >= 0")
+        if self.compaction_size_bias_weight < 0:
+            raise ValueError("compactionSizeBiasWeight must be >= 0")
+        if self.compaction_frag_bias_weight < 0:
+            raise ValueError("compactionFragBiasWeight must be >= 0")
+        if self.build_chunk_limit_bytes <= 0:
+            raise ValueError("buildTxnLimitBytes must be positive")
+        if not (0.0 < self.build_chunk_soft_limit_ratio < 1.0):
+            raise ValueError("buildTxnSoftLimitRatio must be in (0,1)")
+        if self.build_size_check_every <= 0:
+            raise ValueError("buildSizeCheckEvery must be positive")
+
+    def replace(self, **kw) -> "WorkerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalTaskQueueConfig:
+    """Pairs shared cross-index build + maintenance queues
+    (reference: config/GlobalTaskQueueConfig.java:18-48).
+
+    Presence of this config means: do NOT create per-index local queues or start
+    local worker pools; route tasks to the shared queues instead (a standalone
+    GlobalWorkerRunner consumes them).
+    """
+
+    build_queue: Any  # tasks.TaskQueue of GlobalBuildTask
+    maintenance_queue: Any  # tasks.TaskQueue of GlobalMaintenanceTask
+
+    def __post_init__(self):
+        if self.build_queue is None:
+            raise ValueError("build_queue must not be null")
+        if self.maintenance_queue is None:
+            raise ValueError("maintenance_queue must not be null")
+
+
+# Operational field names delegated to WorkerConfig when one is provided.
+_OPERATIONAL_FIELDS = tuple(
+    f.name for f in dataclasses.fields(WorkerConfig) if not f.name.startswith("default_graph")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VectorIndexConfig:
+    """Full index configuration (reference: config/VectorIndexConfig.java:18-710).
+
+    ``storage`` is the durability backend (vectorsearch_tpu.core.persist.IndexStorage)
+    — the analogue of the reference's FDB Database; ``name`` identifies the index
+    within it (the analogue of the FDB directory path).
+    """
+
+    storage: Any
+    name: str
+
+    # ---- data-format params (persisted in IndexMeta, immutable on reopen) ----
+    dimension: int = 768
+    metric: str = Metric.L2
+    max_segment_size: int = 100_000
+    pq_m: int = 16
+    pq_k: int = 256
+    graph_degree: int = 64
+    oversample: int = 2
+    graph_build_breadth: int = 256
+    graph_alpha: float = 1.2
+
+    # ---- operational params (either inline or via worker_config) ----
+    worker_config: Optional[WorkerConfig] = None
+    estimated_worker_count: int = 1
+    local_worker_threads: int = 0
+    local_maintenance_worker_threads: int = 0
+    max_concurrent_compactions: int = 1
+    vacuum_cooldown_s: float = 0.0
+    vacuum_min_deleted_ratio: float = 0.25
+    default_ttl_s: float = 300.0
+    default_throttle_s: float = 1.0
+    clock_ms: Callable[[], int] = _system_clock_ms
+    codebook_batch_load_size: int = 10_000
+    adjacency_batch_load_size: int = 10_000
+    prefetch_codebooks_enabled: bool = True
+    prefetch_codebooks_sync: bool = False
+    auto_find_compaction_candidates: bool = True
+    compaction_min_segments: int = 2
+    compaction_max_segments: int = 8
+    compaction_min_fragmentation: float = 0.1
+    compaction_age_bias_weight: float = 0.3
+    compaction_size_bias_weight: float = 0.5
+    compaction_frag_bias_weight: float = 0.2
+    build_chunk_limit_bytes: int = 10 * 1024 * 1024
+    build_chunk_soft_limit_ratio: float = 0.9
+    build_size_check_every: int = 32
+    metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
+    global_task_queue_config: Optional[GlobalTaskQueueConfig] = None
+
+    # ---- TPU-specific operational params ----
+    pq_train_iters: int = 5  # reference hardcodes 5 (tasks/SegmentBuildService.java:180)
+    pq_train_seed: int = 42  # reference hardcodes 42 (tasks/SegmentBuildService.java:180)
+    query_batch_pad: int = 8  # queries are padded to multiples of this for jit reuse
+    device: Any = None  # jax.Device to place segment tensors on (None = default)
+    mesh: Any = None  # optional jax.sharding.Mesh for multi-chip segment sharding
+
+    def __post_init__(self):
+        if self.storage is None:
+            raise ValueError("database must not be null")
+        if self.name is None:
+            raise ValueError("indexDir must not be null")
+        if self.dimension <= 0:
+            raise ValueError("dimension must be positive")
+        Metric.validate(self.metric)
+        if self.max_segment_size <= 0:
+            raise ValueError("maxSegmentSize must be positive")
+        if self.pq_m <= 0:
+            raise ValueError("pqM must be positive")
+        if self.pq_k <= 1:
+            raise ValueError("pqK must be > 1")
+        if self.dimension % self.pq_m != 0:
+            raise ValueError(
+                f"dimension ({self.dimension}) must be divisible by pqM ({self.pq_m})"
+            )
+        if self.graph_degree <= 0:
+            raise ValueError("graphDegree must be positive")
+        if self.graph_build_breadth < self.graph_degree:
+            raise ValueError("graphBuildBreadth must be >= graphDegree")
+        if self.graph_alpha < 0.0:
+            raise ValueError("graphAlpha must be >= 0")
+        if self.oversample <= 0:
+            raise ValueError("oversample must be positive")
+        # Validate operational fields by constructing the effective WorkerConfig.
+        object.__setattr__(self, "_effective_worker", self._build_effective_worker())
+        if self.pq_train_iters <= 0:
+            raise ValueError("pqTrainIters must be positive")
+
+    def _build_effective_worker(self) -> WorkerConfig:
+        if self.worker_config is not None:
+            return self.worker_config
+        return WorkerConfig(
+            estimated_worker_count=self.estimated_worker_count,
+            local_worker_threads=self.local_worker_threads,
+            local_maintenance_worker_threads=self.local_maintenance_worker_threads,
+            max_concurrent_compactions=self.max_concurrent_compactions,
+            vacuum_cooldown_s=self.vacuum_cooldown_s,
+            vacuum_min_deleted_ratio=self.vacuum_min_deleted_ratio,
+            default_ttl_s=self.default_ttl_s,
+            default_throttle_s=self.default_throttle_s,
+            clock_ms=self.clock_ms,
+            codebook_batch_load_size=self.codebook_batch_load_size,
+            adjacency_batch_load_size=self.adjacency_batch_load_size,
+            prefetch_codebooks_enabled=self.prefetch_codebooks_enabled,
+            prefetch_codebooks_sync=self.prefetch_codebooks_sync,
+            auto_find_compaction_candidates=self.auto_find_compaction_candidates,
+            compaction_min_segments=self.compaction_min_segments,
+            compaction_max_segments=self.compaction_max_segments,
+            compaction_min_fragmentation=self.compaction_min_fragmentation,
+            compaction_age_bias_weight=self.compaction_age_bias_weight,
+            compaction_size_bias_weight=self.compaction_size_bias_weight,
+            compaction_frag_bias_weight=self.compaction_frag_bias_weight,
+            build_chunk_limit_bytes=self.build_chunk_limit_bytes,
+            build_chunk_soft_limit_ratio=self.build_chunk_soft_limit_ratio,
+            build_size_check_every=self.build_size_check_every,
+            metric_attributes=dict(self.metric_attributes),
+        )
+
+    # ---- effective operational getters (delegate to worker_config when set,
+    #      reference: VectorIndexConfig.java:116-147) ----
+
+    @property
+    def effective(self) -> WorkerConfig:
+        return self._effective_worker  # type: ignore[attr-defined]
+
+    @property
+    def sub_dim(self) -> int:
+        return self.dimension // self.pq_m
+
+    @property
+    def is_global_task_queue_enabled(self) -> bool:
+        return self.global_task_queue_config is not None
+
+    def to_index_meta(self) -> "IndexMeta":
+        from vectorsearch_tpu.types import IndexMeta
+
+        return IndexMeta(
+            name=self.name,
+            dimension=self.dimension,
+            metric=self.metric,
+            max_segment_size=self.max_segment_size,
+            pq_m=self.pq_m,
+            pq_k=self.pq_k,
+            graph_degree=self.graph_degree,
+            oversample=self.oversample,
+            graph_build_breadth=self.graph_build_breadth,
+            graph_alpha=self.graph_alpha,
+        )
+
+    def validate_against_meta(self, existing: "IndexMeta") -> None:
+        """Reopen compatibility checks (reference: fdb/FdbVectorStore.java:124-166)."""
+        if existing.dimension != self.dimension:
+            raise ValueError(
+                f"Dimension mismatch: existing={existing.dimension}, requested={self.dimension}"
+            )
+        if existing.metric != self.metric:
+            raise ValueError(
+                f"Metric mismatch: existing={existing.metric}, requested={self.metric}"
+            )
+        if existing.max_segment_size != self.max_segment_size:
+            raise ValueError(
+                "maxSegmentSize mismatch: existing="
+                f"{existing.max_segment_size}, requested={self.max_segment_size}"
+            )
+        if existing.pq_m != self.pq_m:
+            raise ValueError(f"pqM mismatch: existing={existing.pq_m}, requested={self.pq_m}")
+        if existing.pq_k != self.pq_k:
+            raise ValueError(f"pqK mismatch: existing={existing.pq_k}, requested={self.pq_k}")
+        if existing.graph_degree != self.graph_degree:
+            raise ValueError(
+                f"graphDegree mismatch: existing={existing.graph_degree}, "
+                f"requested={self.graph_degree}"
+            )
+        if existing.graph_build_breadth != 0 and existing.graph_build_breadth != self.graph_build_breadth:
+            raise ValueError(
+                f"graphBuildBreadth mismatch: existing={existing.graph_build_breadth}, "
+                f"requested={self.graph_build_breadth}"
+            )
+        if existing.graph_alpha != 0.0 and existing.graph_alpha != self.graph_alpha:
+            raise ValueError(
+                f"graphAlpha mismatch: existing={existing.graph_alpha}, "
+                f"requested={self.graph_alpha}"
+            )
+        if existing.oversample != self.oversample:
+            raise ValueError(
+                f"oversample mismatch: existing={existing.oversample}, "
+                f"requested={self.oversample}"
+            )
+
+    @staticmethod
+    def from_index_meta(
+        meta: "IndexMeta",
+        storage: Any,
+        name: str,
+        worker: WorkerConfig,
+    ) -> "VectorIndexConfig":
+        """Reconstructs a full config from persisted IndexMeta (data params) plus a
+        WorkerConfig template (operational params) — used by global workers
+        (reference: tasks/GlobalWorkerRunner.java:364-425). Zero-valued optional
+        fields fall back to the worker defaults (reference: WorkerConfig.java:282-289).
+        """
+        return VectorIndexConfig(
+            storage=storage,
+            name=name,
+            dimension=meta.dimension,
+            metric=meta.metric,
+            max_segment_size=meta.max_segment_size,
+            pq_m=meta.pq_m,
+            pq_k=meta.pq_k,
+            graph_degree=meta.graph_degree,
+            oversample=meta.oversample,
+            graph_build_breadth=(
+                meta.graph_build_breadth
+                if meta.graph_build_breadth
+                else max(worker.default_graph_build_breadth, meta.graph_degree)
+            ),
+            graph_alpha=meta.graph_alpha if meta.graph_alpha else worker.default_graph_alpha,
+            worker_config=worker.replace(
+                local_worker_threads=0, local_maintenance_worker_threads=0
+            ),
+        )
+
+    def replace(self, **kw) -> "VectorIndexConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,191 @@
+"""Product Quantization ops: codebook training, encoding, LUT build, ADC scan.
+
+TPU-native re-design of the reference's PQ pipeline:
+- pq/PqTrainer.java:14-96  -> `pq_train`: per-subspace Lloyd's k-means, vmapped
+  over the M subspaces; the assign step is a pairwise-distance matmul + argmin
+  (MXU), the update step is a scatter-add.
+- pq/PqEncoder.java:8-38   -> `pq_encode`: nearest-centroid argmin per subspace.
+- fdb/FdbVectorIndex.java:1067-1079 -> `build_lut`: per-query M x K table of
+  subspace squared-L2 distances.
+- fdb/FdbVectorIndex.java:1057-1065 -> `adc_scan` / `adc_lookup`: approximate
+  distance = sum over subspaces of LUT entries selected by the byte codes.
+
+All functions are jit-compatible with static (M, K) and operate on padded
+arrays with validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_subspaces(x: jax.Array, m: int) -> jax.Array:
+    """f32[N, D] -> f32[M, N, D/M] (subspace-major for vmap over M)."""
+    n, d = x.shape
+    sub = d // m
+    return x.reshape(n, m, sub).transpose(1, 0, 2)
+
+
+def _assign(sub_x: jax.Array, cent: jax.Array, valid: jax.Array) -> jax.Array:
+    """Nearest centroid per row: sub_x f32[N, s], cent f32[K, s] -> i32[N].
+
+    Invalid rows are assigned -1 so they contribute to no cluster.
+    """
+    x_sq = jnp.sum(sub_x * sub_x, axis=-1, keepdims=True)
+    c_sq = jnp.sum(cent * cent, axis=-1)[None, :]
+    d2 = x_sq + c_sq - 2.0 * jnp.dot(sub_x, cent.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    a = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    return jnp.where(valid, a, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "iters"))
+def pq_train(
+    vectors: jax.Array,  # f32[N, D] (padded; pads masked out by `valid`)
+    valid: jax.Array,  # bool[N]
+    m: int,
+    k: int,
+    iters: int,
+    key: jax.Array,  # jax PRNG key (reference uses seed=42, 5 iterations)
+) -> jax.Array:
+    """Trains an M-subspace PQ codebook with Lloyd's k-means.
+
+    Returns f32[M, K, D/M]. Initialization picks K random valid rows per
+    subspace (shared across subspaces, like sampling K training points);
+    empty clusters are re-seeded to random valid points each iteration
+    (reference: pq/PqTrainer.java:28-91).
+    """
+    n, d = vectors.shape
+    sub = d // m
+    subs = _split_subspaces(vectors.astype(jnp.float32), m)  # [M, N, sub]
+
+    def random_valid_rows(rk: jax.Array) -> jax.Array:
+        # K distinct random valid row indices: random scores, -inf at invalid,
+        # top_k picks K valid rows uniformly at random (falls back to pad rows
+        # only when fewer than K valid rows exist). When N < K, rows repeat
+        # modularly — duplicate centroids are harmless (argmin picks the first).
+        scores = jax.random.uniform(rk, (n,))
+        scores = jnp.where(valid, scores, -jnp.inf)
+        take = min(n, k)
+        _, idx = jax.lax.top_k(scores, take)
+        if take < k:
+            idx = idx[jnp.arange(k) % take]
+        return idx.astype(jnp.int32)
+
+    init_rows = random_valid_rows(key)  # [K]
+    cent0 = subs[:, init_rows, :]  # [M, K, sub]
+
+    def one_iter(i, cent):
+        assigns = jax.vmap(_assign, in_axes=(0, 0, None))(subs, cent, valid)  # [M, N]
+
+        def update_one(sub_x, a):
+            onehot_rows = jnp.where(a[:, None] >= 0, a[:, None], k)  # pad bucket k
+            sums = jnp.zeros((k + 1, sub), jnp.float32).at[onehot_rows[:, 0]].add(sub_x)
+            counts = jnp.zeros((k + 1,), jnp.float32).at[onehot_rows[:, 0]].add(1.0)
+            return sums[:k], counts[:k]
+
+        sums, counts = jax.vmap(update_one)(subs, assigns)  # [M, K, sub], [M, K]
+
+        # Re-seed empty clusters to random valid data points (deterministic per iter).
+        reseed_rows = random_valid_rows(jax.random.fold_in(key, i + 1))  # [K]
+        reseed = subs[:, reseed_rows, :]  # [M, K, sub]
+        nonempty = counts > 0.0
+        new_cent = jnp.where(
+            nonempty[:, :, None],
+            sums / jnp.maximum(counts, 1.0)[:, :, None],
+            reseed,
+        )
+        return new_cent
+
+    cent = jax.lax.fori_loop(0, iters, one_iter, cent0)
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pq_encode(vectors: jax.Array, codebook: jax.Array, valid: jax.Array) -> jax.Array:
+    """Encodes vectors to one byte per subspace (reference: pq/PqEncoder.java:18-37).
+
+    vectors f32[N, D], codebook f32[M, K, D/M] -> u8[N, M]. Invalid rows encode
+    to code 0 (they are masked out of every search anyway).
+    """
+    m = codebook.shape[0]
+    subs = _split_subspaces(vectors.astype(jnp.float32), m)  # [M, N, sub]
+    assigns = jax.vmap(_assign, in_axes=(0, 0, None))(subs, codebook, valid)  # [M, N]
+    codes = jnp.where(assigns < 0, 0, assigns).astype(jnp.uint8)
+    return codes.T  # [N, M]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_lut(q: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Builds the ADC lookup table: q f32[Q, D], codebook f32[M, K, s] -> f32[Q, M, K].
+
+    lut[q, m, c] = ||q_sub_m - centroid[m, c]||^2
+    (reference: fdb/FdbVectorIndex.java:1067-1079).
+    """
+    qn, d = q.shape
+    m, k, sub = codebook.shape
+    q_subs = q.astype(jnp.float32).reshape(qn, m, sub)  # [Q, M, s]
+    q_sq = jnp.sum(q_subs * q_subs, axis=-1)[:, :, None]  # [Q, M, 1]
+    c_sq = jnp.sum(codebook * codebook, axis=-1)[None, :, :]  # [1, M, K]
+    # cross[q, m, k] = q_subs[q, m] . codebook[m, k]
+    cross = jnp.einsum(
+        "qms,mks->qmk",
+        q_subs,
+        codebook,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(q_sq + c_sq - 2.0 * cross, 0.0)
+
+
+def adc_lookup(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """ADC distance for a gathered subset of codes.
+
+    lut f32[Q, M, K], codes u8/i32[Q, C, M] -> approx dists f32[Q, C]
+    (reference: FdbVectorIndex.pqApproxDistance :1057-1065).
+    """
+    idx = codes.astype(jnp.int32).transpose(0, 2, 1)  # [Q, M, C]
+    vals = jnp.take_along_axis(lut, idx, axis=2)  # [Q, M, C]
+    return jnp.sum(vals, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def adc_scan(
+    lut: jax.Array,  # f32[Q, M, K]
+    codes: jax.Array,  # u8[N, M]
+    valid: jax.Array,  # bool[N]
+    chunk: int = 32768,
+) -> jax.Array:
+    """Full ADC scan over all codes: -> approx dists f32[Q, N]; invalid rows = +inf.
+
+    The scan is chunked over N so the gathered [Q, M, chunk] intermediate stays
+    small; each chunk is a take_along_axis gather + sum over subspaces (VPU).
+    A Pallas kernel (ops/pallas/adc.py) replaces this on TPU for the hot path.
+    """
+    qn, m, k = lut.shape
+    n = codes.shape[0]
+    if n <= chunk:
+        idx = jnp.broadcast_to(codes.astype(jnp.int32)[None, :, :], (qn, n, m))
+        out = adc_lookup(lut, idx)
+        return jnp.where(valid[None, :], out, jnp.inf)
+
+    pad_n = (-n) % chunk
+    codes_p = jnp.pad(codes, ((0, pad_n), (0, 0)))
+    n_chunks = codes_p.shape[0] // chunk
+    codes_c = codes_p.reshape(n_chunks, chunk, m)
+
+    def body(carry, codes_chunk):
+        idx = jnp.broadcast_to(codes_chunk.astype(jnp.int32)[None, :, :], (qn, chunk, m))
+        return carry, adc_lookup(lut, idx)
+
+    _, outs = jax.lax.scan(body, None, codes_c)  # [n_chunks, Q, chunk]
+    out = outs.transpose(1, 0, 2).reshape(qn, n_chunks * chunk)[:, :n]
+    return jnp.where(valid[None, :], out, jnp.inf)
+
+
+def zero_codebook(m: int, k: int, sub_dim: int) -> jax.Array:
+    """Zero-codebook fallback for empty-segment builds
+    (reference: tasks/SegmentBuildService.java:143-157)."""
+    return jnp.zeros((m, k, sub_dim), jnp.float32)

@@ -1,0 +1,69 @@
+"""Top-k helpers: masked brute-force kNN and score-ordered merge.
+
+The brute-force path is the TPU counterpart of the reference's ACTIVE/PENDING
+segment scan (fdb/FdbVectorIndex.java:660-725): one pairwise-distance matmul
+plus `lax.top_k`, batched over queries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vectorsearch_tpu.ops import distance as dist_ops
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def brute_force_topk(
+    q: jax.Array,  # f32[Q, D]
+    x: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N] — live (non-tombstoned, in-range) rows
+    k: int,
+    metric: str = "L2",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact kNN over a masked vector table.
+
+    Returns (scores f32[Q, k], distances f32[Q, k], indices i32[Q, k]);
+    invalid/padding slots get score=-inf and index=-1.
+    """
+    scores, distances = dist_ops.scores_from_distances(metric, q, x)
+    masked = jnp.where(valid[None, :], scores, NEG_INF)
+    n = x.shape[0]
+    if k > n:  # fewer rows than requested: return them all, pad the rest
+        s, d, i = brute_force_topk(q, x, valid, n, metric)
+        pad = ((0, 0), (0, k - n))
+        return (
+            jnp.pad(s, pad, constant_values=-jnp.inf),
+            jnp.pad(d, pad, constant_values=jnp.inf),
+            jnp.pad(i, pad, constant_values=-1),
+        )
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_dist = jnp.take_along_axis(distances, top_idx, axis=1)
+    keep = top_scores > NEG_INF
+    return (
+        jnp.where(keep, top_scores, NEG_INF),
+        jnp.where(keep, top_dist, jnp.float32(jnp.inf)),
+        jnp.where(keep, top_idx, -1),
+    )
+
+
+def merge_topk(
+    scores_list: list[jax.Array],  # each f32[Q, k_i]
+    payload_idx_list: list[jax.Array],  # each i32[Q, k_i] (opaque ids, -1 = empty)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merges per-segment top-k result sets by score descending, truncating to k.
+
+    The analogue of the reference's cross-segment merge
+    (fdb/FdbVectorIndex.java:432-469). Inputs may have differing widths.
+    """
+    scores = jnp.concatenate(scores_list, axis=1)
+    ids = jnp.concatenate(payload_idx_list, axis=1)
+    kk = min(k, scores.shape[1])
+    top_scores, pos = jax.lax.top_k(scores, kk)
+    top_ids = jnp.take_along_axis(ids, pos, axis=1)
+    return top_scores, top_ids

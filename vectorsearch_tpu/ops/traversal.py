@@ -1,0 +1,217 @@
+"""Batched graph traversal: BEST_FIRST (and legacy BEAM) frontier expansion.
+
+TPU re-design of the reference's priority-queue expansion
+(fdb/FdbVectorIndex.java:911-968 BEST_FIRST, :841-903 BEAM): the per-query
+priority queue becomes a fixed-size, distance-sorted candidate pool kept as
+dense arrays; the visited set becomes a bool[Q, N] mask; each iteration
+
+  1. selects the best `beam` unexpanded candidates (masked top_k),
+  2. gathers their adjacency rows,
+  3. visits unseen neighbors (scatter into the visited mask, with intra-step
+     dedup via a sort),
+  4. ADC-scores them against the per-query LUT, and
+  5. merges them into the pool with one top_k.
+
+Everything runs under `jax.lax.while_loop` with static buffer shapes, batched
+over Q queries at once — the throughput win over the reference's one-query
+async chains.
+
+The legacy BEAM mode maps onto the same kernel: `refine_frontier=False`
+restricts expansion to candidates discovered in the previous step, and
+`min_steps` implements the reference's minHops floor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vectorsearch_tpu.ops.pq import adc_lookup
+
+INF = jnp.float32(jnp.inf)
+_BIG = jnp.int32(2**30)
+
+
+def _dedup_within_step(ids: jax.Array, new: jax.Array) -> jax.Array:
+    """Keeps only the first occurrence of each id among `new` entries per row.
+
+    ids i32[Q, C], new bool[Q, C] -> bool[Q, C]. Needed because two frontier
+    nodes expanded in the same step may share a neighbor; the visited-mask
+    scatter can't express first-wins within one step.
+    """
+    keyed = jnp.where(new, ids, _BIG)
+    order = jnp.argsort(keyed, axis=1)
+    sorted_ids = jnp.take_along_axis(keyed, order, axis=1)
+    first = jnp.concatenate(
+        [
+            jnp.ones_like(sorted_ids[:, :1], dtype=bool),
+            sorted_ids[:, 1:] != sorted_ids[:, :-1],
+        ],
+        axis=1,
+    ) & (sorted_ids < _BIG)
+    # scatter `first` back to original column positions
+    q, c = ids.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (q, c), 0)
+    out = jnp.zeros((q, c), bool).at[rows, order].set(first)
+    return out & new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier"),
+)
+def graph_expand(
+    lut: jax.Array,  # f32[Q, M, K] per-query ADC lookup table
+    codes: jax.Array,  # u8[N, M] PQ codes
+    adjacency: jax.Array,  # i32[N, R] (-1 padded)
+    row_valid: jax.Array,  # bool[N] rows that exist (tombstones included)
+    seed_idx: jax.Array,  # i32[Q, S] (-1 padded)
+    seed_dist: jax.Array,  # f32[Q, S] ADC dists of seeds (inf padded)
+    ef_dyn: jax.Array,  # i32 scalar: effective ef (candidates to explore)
+    beam_dyn: jax.Array,  # i32 scalar: effective beam width
+    *,
+    ef_buf: int,  # static candidate-pool size >= ef_dyn
+    beam_buf: int,  # static max frontier width >= beam_dyn
+    max_steps: int,
+    min_steps: int = 0,
+    refine_frontier: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Expands the graph frontier; returns (cand_idx i32[Q, ef_buf],
+    cand_dist f32[Q, ef_buf]) sorted ascending by approximate distance."""
+    q, s = seed_idx.shape
+    n, r = adjacency.shape
+    c = beam_buf * r  # neighbors gathered per step
+
+    # ---- init candidate pool from seeds ----
+    pool = min(s, ef_buf)
+    cand_idx = jnp.full((q, ef_buf), -1, jnp.int32).at[:, :pool].set(seed_idx[:, :pool])
+    cand_d = jnp.full((q, ef_buf), INF).at[:, :pool].set(seed_dist[:, :pool])
+    cand_d = jnp.where(cand_idx >= 0, cand_d, INF)
+    expanded = jnp.zeros((q, ef_buf), bool)
+    fresh = cand_idx >= 0  # seeds count as freshly discovered
+    rows_q = jnp.arange(q, dtype=jnp.int32)
+
+    visited = jnp.zeros((q, n), bool)
+    seed_ok = cand_idx >= 0
+    visited = visited.at[rows_q[:, None], jnp.maximum(cand_idx, 0)].max(seed_ok)
+    explored = jnp.sum(seed_ok, axis=1).astype(jnp.int32)
+
+    beam_iota = jax.lax.broadcasted_iota(jnp.int32, (q, beam_buf), 1)
+
+    def selectable(state):
+        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        sel = (~expanded) & (cand_idx >= 0)
+        if not refine_frontier:
+            sel = sel & fresh
+        return sel
+
+    def cond(state):
+        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        active_q = explored < ef_dyn
+        has_work = jnp.any(selectable(state) & active_q[:, None])
+        forced = step < min_steps
+        anything = jnp.any(selectable(state)) & forced
+        return (step < max_steps) & (has_work | anything)
+
+    def body(state):
+        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        active_q = (explored < ef_dyn) | (step < min_steps)
+
+        sel = selectable(state)
+        sel_score = jnp.where(sel, -cand_d, -INF)
+        top_score, pos = jax.lax.top_k(sel_score, beam_buf)  # [Q, beam_buf]
+        valid_sel = (top_score > -INF) & (beam_iota < beam_dyn) & active_q[:, None]
+
+        expanded = expanded.at[rows_q[:, None], pos].max(valid_sel)
+
+        node = jnp.take_along_axis(cand_idx, pos, axis=1)  # [Q, beam_buf]
+        safe_node = jnp.maximum(node, 0)
+        nbrs = adjacency[safe_node].reshape(q, c)  # [Q, C]
+        safe_nbr = jnp.maximum(nbrs, 0)
+        nbr_ok = (
+            (nbrs >= 0)
+            & jnp.repeat(valid_sel, r, axis=1)
+            & row_valid[safe_nbr]
+        )
+        seen = visited[rows_q[:, None], safe_nbr]
+        new = nbr_ok & ~seen
+        new = _dedup_within_step(nbrs, new)
+
+        visited = visited.at[rows_q[:, None], safe_nbr].max(new)
+        explored = explored + jnp.sum(new, axis=1).astype(jnp.int32)
+
+        new_d = adc_lookup(lut, codes[safe_nbr])  # [Q, C]
+        new_d = jnp.where(new, new_d, INF)
+        new_ids = jnp.where(new, nbrs, -1)
+
+        all_idx = jnp.concatenate([cand_idx, new_ids], axis=1)
+        all_d = jnp.concatenate([cand_d, new_d], axis=1)
+        all_exp = jnp.concatenate([expanded, jnp.zeros((q, c), bool)], axis=1)
+        all_fresh = jnp.concatenate([jnp.zeros((q, ef_buf), bool), new], axis=1)
+
+        neg_top, keep = jax.lax.top_k(-all_d, ef_buf)
+        cand_d = -neg_top
+        cand_idx = jnp.take_along_axis(all_idx, keep, axis=1)
+        expanded = jnp.take_along_axis(all_exp, keep, axis=1)
+        fresh = jnp.take_along_axis(all_fresh, keep, axis=1)
+        cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
+
+        return cand_idx, cand_d, expanded, fresh, visited, explored, step + 1
+
+    state = (cand_idx, cand_d, expanded, fresh, visited, explored, jnp.int32(0))
+    cand_idx, cand_d, *_ = jax.lax.while_loop(cond, body, state)
+    return cand_idx, cand_d
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def exact_rerank(
+    q: jax.Array,  # f32[Q, D] queries
+    vectors: jax.Array,  # f32[N, D] raw vectors
+    alive: jax.Array,  # bool[N] non-tombstoned rows
+    cand_idx: jax.Array,  # i32[Q, C] candidates (-1 padded)
+    k: int,
+    metric: str = "L2",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact re-rank of traversal candidates
+    (reference: fdb/FdbVectorIndex.java:970-1046).
+
+    Gathers raw vectors for the candidates, scores them exactly (L2 ->
+    score=-dist; cosine -> score=sim, distance=1-sim; deleted rows dropped),
+    and returns (scores f32[Q, k], distances f32[Q, k], indices i32[Q, k]).
+
+    `normalizeOnRead` needs no separate path here: the reference's normalized
+    and raw cosine formulas are algebraically identical (both divide the dot
+    product by the two norms; zero norms yield similarity 0).
+    """
+    qf = q.astype(jnp.float32)
+    safe = jnp.maximum(cand_idx, 0)
+    vecs = vectors[safe].astype(jnp.float32)  # [Q, C, D]
+    ok = (cand_idx >= 0) & alive[safe]
+
+    if metric == "COSINE":
+        dots = jnp.einsum("qd,qcd->qc", qf, vecs, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))[:, None]
+        vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1))
+        denom = qn * vn
+        sim = jnp.where(denom == 0.0, 0.0, dots / jnp.where(denom == 0.0, 1.0, denom))
+        score = sim
+        dist = 1.0 - sim
+    else:
+        diff = vecs - qf[:, None, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        score = -d
+        dist = d
+
+    score = jnp.where(ok, score, -INF)
+    kk = min(k, cand_idx.shape[1])
+    top_score, pos = jax.lax.top_k(score, kk)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    top_dist = jnp.take_along_axis(dist, pos, axis=1)
+    keep = top_score > -INF
+    return (
+        jnp.where(keep, top_score, -INF),
+        jnp.where(keep, top_dist, INF),
+        jnp.where(keep, top_idx, -1),
+    )
