@@ -1,0 +1,356 @@
+"""End-to-end API tests (parity with api/VectorIndexTest.java): insert -> seal
+-> query self-recall gates, rotation at threshold, deletes, gid ordering,
+WRITING invisibility, reopen validation."""
+
+import numpy as np
+import pytest
+
+from vectorsearch_tpu.config import VectorIndexConfig
+from vectorsearch_tpu.core.index import VectorIndex
+from vectorsearch_tpu.core.build import SegmentBuildService
+from vectorsearch_tpu.params import Mode, SearchParams
+from vectorsearch_tpu.types import SegmentState
+
+
+def make_index(storage, name="idx", **kw):
+    base = dict(
+        storage=storage, name=name, dimension=8, metric="L2",
+        max_segment_size=100, pq_m=4, pq_k=16, graph_degree=16,
+        graph_build_breadth=64, graph_alpha=1.2, oversample=2,
+        local_worker_threads=0, local_maintenance_worker_threads=0,
+    )
+    base.update(kw)
+    return VectorIndex.create_or_open(VectorIndexConfig(**base))
+
+
+def gaussian(rng, n, d=8):
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def test_add_query_active_segment(storage, rng):
+    idx = make_index(storage)
+    x = gaussian(rng, 20)
+    gids = idx.add_all(x, [f"p{i}".encode() for i in range(20)])
+    assert gids == list(range(20))
+    res = idx.query(x[3], 1)
+    assert res[0].gid == 3
+    assert res[0].payload == b"p3"
+    assert res[0].distance == pytest.approx(0.0, abs=1e-4)
+    assert res[0].score == pytest.approx(0.0, abs=1e-4)
+    idx.close()
+
+
+def test_rotation_at_threshold_enqueues_build(storage, rng):
+    idx = make_index(storage, max_segment_size=10)
+    idx.add_all(gaussian(rng, 25))
+    with idx.store.lock:
+        states = {sid: s.state for sid, s in idx.store.segments.items()}
+    # 25 rows / cap 10 -> segments 0,1 full (PENDING), 2 ACTIVE with 5 rows
+    assert states[0] == SegmentState.PENDING
+    assert states[1] == SegmentState.PENDING
+    assert states[2] == SegmentState.ACTIVE
+    assert idx.store.segments[2].meta.count == 5
+    # build tasks enqueued idempotently
+    assert idx.build_queue.has_visible_unclaimed_tasks()
+    idx.close()
+
+
+def test_strict_cap_rotation_exact_fill(storage, rng):
+    idx = make_index(storage, max_segment_size=10)
+    idx.add_all(gaussian(rng, 10))
+    # exactly-full segment rotates immediately (strict cap)
+    assert idx.store.segments[0].state == SegmentState.PENDING
+    assert idx.store.current_segment == 1
+    idx.close()
+
+
+def test_gid_ordering_across_rotations(storage, rng):
+    idx = make_index(storage, max_segment_size=7)
+    gids = idx.add_all(gaussian(rng, 23))
+    assert gids == list(range(23))
+    locs = idx.resolve_ids(gids)
+    assert locs[0] == (0, 0)
+    assert locs[7] == (1, 0)
+    assert locs[22] == (3, 1)
+    idx.close()
+
+
+def run_builds(idx):
+    """Deterministic sealing without worker pools (reference test pattern:
+    api/VectorIndexTest.java:232-239 invokes SegmentBuildService directly)."""
+    while idx.build_queue.has_visible_unclaimed_tasks():
+        claim = idx.build_queue.await_and_claim(timeout=1.0)
+        if claim is None:
+            break
+        idx.build_service.build(claim.payload.seg_id)
+        claim.complete()
+
+
+def test_self_recall_200_vectors(storage, rng):
+    """Insert -> seal -> query self-recall@10 >= 0.9 on 200 Gaussian vectors
+    (reference floor: api/VectorIndexTest.java:212-258)."""
+    idx = make_index(storage, max_segment_size=100)
+    x = gaussian(rng, 200)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    with idx.store.lock:
+        sealed = [s.seg_id for s in idx.store.segments.values()
+                  if s.state == SegmentState.SEALED]
+    assert len(sealed) == 2
+
+    hits = 0
+    for i in range(200):
+        res = idx.query(x[i], 10)
+        if gids[i] in [r.gid for r in res]:
+            hits += 1
+    recall = hits / 200
+    assert recall >= 0.9, f"self-recall@10 = {recall}"
+    idx.close()
+
+
+def test_self_recall_1000_vectors(storage, rng):
+    idx = make_index(storage, max_segment_size=500)
+    x = gaussian(rng, 1000)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    qs = x[:100]
+    batches = idx.query_batch(qs, 10)
+    hits = sum(1 for i, res in enumerate(batches) if gids[i] in [r.gid for r in res])
+    recall = hits / 100
+    assert recall >= 0.9, f"self-recall@10 = {recall}"
+    idx.close()
+
+
+def test_query_merges_brute_force_and_sealed(storage, rng):
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 80)  # seg0 sealed-able (50), seg1 ACTIVE (30)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    assert idx.store.segments[0].state == SegmentState.SEALED
+    assert idx.store.segments[1].state == SegmentState.ACTIVE
+    # nearest of a vector in each segment must be itself
+    for i in (5, 70):
+        res = idx.query(x[i], 1)
+        assert res[0].gid == gids[i]
+    idx.close()
+
+
+def test_delete_removes_from_results(storage, rng):
+    idx = make_index(storage)
+    x = gaussian(rng, 30)
+    gids = idx.add_all(x)
+    res = idx.query(x[4], 1)
+    assert res[0].gid == gids[4]
+    idx.delete(gids[4])
+    res = idx.query(x[4], 30)
+    assert gids[4] not in [r.gid for r in res]
+    # gid mappings cleared
+    assert idx.resolve_ids([gids[4]]) == [(-1, -1)]
+    idx.close()
+
+
+def test_delete_in_sealed_segment_filtered_at_rerank(storage, rng):
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 50)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    assert idx.store.segments[0].state == SegmentState.SEALED
+    idx.delete_all(gids[:5])
+    res = idx.query(x[2], 50)
+    got = [r.gid for r in res]
+    assert not (set(gids[:5]) & set(got))
+    idx.close()
+
+
+def test_scores_l2_convention(storage, rng):
+    idx = make_index(storage)
+    x = gaussian(rng, 10)
+    idx.add_all(x)
+    res = idx.query(x[0], 3)
+    for r in res:
+        assert r.score == pytest.approx(-r.distance, rel=1e-5)
+    assert res[0].score >= res[1].score >= res[2].score
+    idx.close()
+
+
+def test_scores_cosine_convention(storage, rng):
+    idx = make_index(storage, metric="COSINE")
+    x = gaussian(rng, 10)
+    idx.add_all(x)
+    res = idx.query(x[0], 3)
+    for r in res:
+        assert r.distance == pytest.approx(1.0 - r.score, rel=1e-5)
+    assert res[0].score == pytest.approx(1.0, abs=1e-4)  # self-similarity
+    idx.close()
+
+
+def test_normalize_on_read_cosine(storage, rng):
+    idx = make_index(storage, metric="COSINE", max_segment_size=50)
+    x = gaussian(rng, 50)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    p = SearchParams.defaults(5, 2).replace(normalize_on_read=True)
+    res = idx.query(x[7], 5, p)
+    assert res[0].gid == gids[7]
+    idx.close()
+
+
+def test_beam_mode_works_and_warns_once(storage, rng, caplog):
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 50)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    p = SearchParams.of(64, 8, 6, mode=Mode.BEAM)
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="vectorsearch_tpu.index"):
+        r1 = idx.query(x[3], 5, p)
+        r2 = idx.query(x[4], 5, p)
+    warns = [r for r in caplog.records if "deprecated" in r.message]
+    assert len(warns) == 1  # warn-once
+    assert r1[0].gid == gids[3]
+    idx.close()
+
+
+def test_random_pivots_deterministic(storage, rng):
+    from vectorsearch_tpu.params import SeedStrategy
+
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 50)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    p = SearchParams.defaults(5, 2).replace(seed_strategy=SeedStrategy.RANDOM_PIVOTS)
+    r1 = idx.query(x[9], 5, p)
+    r2 = idx.query(x[9], 5, p)
+    assert [r.gid for r in r1] == [r.gid for r in r2]  # deterministic
+    assert r1[0].gid == gids[9]
+    idx.close()
+
+
+def test_writing_segment_invisible(storage, rng):
+    """WRITING segments are skipped by search
+    (reference: fdb/SearchIgnoresWritingSegmentTest.java)."""
+    idx = make_index(storage)
+    x = gaussian(rng, 20)
+    idx.add_all(x)
+    # inject a WRITING segment holding a perfect-match vector
+    with idx.store.lock:
+        wid = idx.store.max_segment_id + 1
+        idx.store.max_segment_id = wid
+        seg = idx.store._new_segment(wid, SegmentState.WRITING)
+        seg.append_rows(x[:1], [None])
+        idx.store.segments[wid] = seg
+        idx.store.registry.append(wid)
+    res = idx.query(x[0], 20)
+    assert all(idx.resolve_ids([r.gid])[0][0] != wid for r in res)
+    idx.close()
+
+
+def test_await_indexing_complete(storage, rng):
+    idx = make_index(storage, max_segment_size=10, local_worker_threads=2)
+    x = gaussian(rng, 35)
+    idx.add_all(x)
+    assert idx.await_indexing_complete(timeout=30.0)
+    with idx.store.lock:
+        states = [idx.store.segments[sid].state for sid in (0, 1, 2)]
+    assert states == [SegmentState.SEALED] * 3
+    idx.close()
+
+
+def test_reopen_validates_and_preserves(storage, rng):
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 80)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.checkpoint()
+    idx.close()
+
+    # reopen with same config: data intact
+    idx2 = make_index(storage, max_segment_size=50)
+    res = idx2.query(x[60], 1)
+    assert res[0].gid == gids[60]
+    assert idx2.store.next_gid == 80
+    idx2.close()
+
+    # reopen with mismatched dimension: throws
+    with pytest.raises(ValueError, match="Dimension mismatch"):
+        make_index(storage, max_segment_size=50, dimension=16, pq_m=4)
+    # mismatched metric
+    with pytest.raises(ValueError, match="Metric mismatch"):
+        make_index(storage, max_segment_size=50, metric="COSINE")
+    # mismatched maxSegmentSize
+    with pytest.raises(ValueError, match="maxSegmentSize mismatch"):
+        make_index(storage, max_segment_size=99)
+
+
+def test_payload_rules(storage, rng):
+    """addAll payload length-mismatch rules (reference: api/VectorIndex.java:78-88)."""
+    idx = make_index(storage)
+    x = gaussian(rng, 4)
+    gids = idx.add_all(x, [b"a", b"b"])  # shorter: missing -> None
+    res = idx.query(x[0], 1)
+    assert res[0].payload == b"a"
+    res = idx.query(x[3], 1)
+    assert res[0].payload is None
+    gids2 = idx.add_all(gaussian(rng, 2), [b"x", b"y", b"z"])  # extra ignored
+    assert len(gids2) == 2
+    idx.close()
+
+
+def test_dimension_mismatch_raises(storage, rng):
+    idx = make_index(storage)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        idx.add(np.zeros(5, np.float32))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        idx.query(np.zeros(5, np.float32), 3)
+    idx.close()
+
+
+def test_empty_segment_build_zero_codebook(storage):
+    """Empty-segment build -> zero codebook + SEALED
+    (reference: tasks/SegmentBuildService.java:116-120,143-157)."""
+    idx = make_index(storage)
+    with idx.store.lock:
+        idx.store.segments[0].meta.state = SegmentState.PENDING
+    idx.build_service.build(0)
+    seg = idx.store.segments[0]
+    assert seg.state == SegmentState.SEALED
+    assert np.all(seg.codebook_np == 0.0)
+    idx.close()
+
+
+def test_build_idempotent(storage, rng):
+    """build() twice is safe; SEALED is a no-op
+    (reference: tasks/SegmentBuildServiceIdempotentTest.java)."""
+    idx = make_index(storage, max_segment_size=30)
+    x = gaussian(rng, 30)
+    idx.add_all(x)
+    idx.build_service.build(0)
+    cb1 = np.array(idx.store.segments[0].codebook_np)
+    idx.build_service.build(0)  # no-op
+    assert np.array_equal(cb1, idx.store.segments[0].codebook_np)
+    assert idx.store.segments[0].state == SegmentState.SEALED
+    idx.close()
+
+
+def test_build_writing_segment(storage, rng):
+    """WRITING -> SEALED (reference: tasks/SegmentBuildServiceWritingTest.java)."""
+    idx = make_index(storage)
+    with idx.store.lock:
+        idx.store.segments[0].append_rows(gaussian(rng, 10), [None] * 10)
+        idx.store.segments[0].meta.state = SegmentState.WRITING
+    idx.build_service.build(0)
+    assert idx.store.segments[0].state == SegmentState.SEALED
+    idx.close()
+
+
+def test_cache_sizes_reported(storage, rng):
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 50)
+    idx.add_all(x)
+    run_builds(idx)
+    assert idx.get_codebook_cache_size() == 0  # nothing queried yet
+    idx.query(x[0], 5)
+    assert idx.get_codebook_cache_size() == 1
+    assert idx.get_adjacency_cache_size() == 50
+    idx.close()

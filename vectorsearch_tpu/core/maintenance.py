@@ -1,0 +1,273 @@
+"""MaintenanceService: vacuum, compaction planner, compaction executor
+(reference: tasks/MaintenanceService.java:48-571).
+
+- vacuum_segment: ratio-guarded physical removal of tombstoned rows' data,
+  counter updates, last_vacuum_at stamp; a half-empty segment triggers the
+  compaction planner (:88-217).
+- find_compaction_candidates: composite score ageW*age + sizeW*size + fragW*frag
+  over SEALED segments, greedy pick under an 80%-of-maxSegmentSize budget,
+  honoring min/max segment counts and the min-fragmentation threshold
+  (:430-529 — formulas ported verbatim).
+- compact_segments: reserve a WRITING destination (invisible to search), copy
+  live rows + payloads preserving gids, PQ+graph build + seal, then one atomic
+  swap: register destination, drop sources, remap gid maps. Sources stay
+  COMPACTING (searchable) throughout — no query downtime (:248-417).
+  Deletes that land on a source row between copy and swap are re-applied to
+  the destination row at swap time (the lock-based replacement for FDB's
+  transaction conflicts).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from vectorsearch_tpu.config import VectorIndexConfig
+from vectorsearch_tpu.core.store import VectorStore
+from vectorsearch_tpu.core.tasks import FindCompactionCandidatesTask
+from vectorsearch_tpu.types import SegmentMeta, SegmentState
+from vectorsearch_tpu.utils.metrics import get_registry
+
+LOG = logging.getLogger("vectorsearch_tpu.maintenance")
+
+
+class MaintenanceService:
+    def __init__(self, config: VectorIndexConfig, store: VectorStore,
+                 build_service, maintenance_queue=None):
+        self.config = config
+        self.store = store
+        self.build_service = build_service
+        self.maintenance_queue = maintenance_queue
+
+    # ----------------------------------------------------------------- vacuum
+
+    def vacuum_segment(self, seg_id: int, min_ratio: Optional[float] = None) -> int:
+        """Removes tombstoned rows' data; returns number removed."""
+        t0 = time.monotonic()
+        metrics = get_registry()
+        cfg = self.config
+        if min_ratio is None:
+            min_ratio = cfg.effective.vacuum_min_deleted_ratio
+        removed = 0
+        try:
+            with self.store.lock:
+                seg = self.store.segments.get(seg_id)
+                if seg is None:
+                    return 0
+                live = seg.meta.count
+                dead = seg.meta.deleted_count
+                total = live + dead
+                ratio = (dead / total) if total > 0 else 0.0
+                if ratio < min_ratio:
+                    LOG.debug(
+                        "vacuum(%d): ratio %.3f < %.3f; skip", seg_id, ratio, min_ratio
+                    )
+                    return 0
+                for vid in range(seg.next_row):
+                    if seg.exists_np[vid] and not seg.alive_np[vid]:
+                        seg.remove_row(vid)
+                        removed += 1
+                seg.meta.deleted_count = max(0, seg.meta.deleted_count - removed)
+                seg.meta.last_vacuum_at_ms = cfg.effective.clock_ms()
+                seg.invalidate_device()
+                self.store.checkpoint_segment(seg_id)
+                self.store.checkpoint_state()
+                under_half = seg.meta.count < cfg.max_segment_size / 2
+            metrics.inc("vectorsearch.vacuum.run")
+            metrics.inc("vectorsearch.vacuum.removed", removed)
+            # Half-empty after vacuum -> look for compaction partners (:200-216)
+            if (
+                under_half
+                and cfg.effective.auto_find_compaction_candidates
+                and self.maintenance_queue is not None
+            ):
+                self.maintenance_queue.enqueue_if_not_exists(
+                    f"find-compaction-candidates:{seg_id}",
+                    FindCompactionCandidatesTask(anchor_seg_id=seg_id),
+                )
+            return removed
+        finally:
+            metrics.record(
+                "vectorsearch.vacuum.duration_ms", (time.monotonic() - t0) * 1000.0
+            )
+
+    # ---------------------------------------------------------------- planner
+
+    def find_compaction_candidates(self, anchor_seg_id: int = -1) -> list[int]:
+        cfg = self.config
+        eff = cfg.effective
+        max_size = cfg.max_segment_size
+        max_segs = eff.compaction_max_segments
+        min_segs = eff.compaction_min_segments
+        min_frag = eff.compaction_min_fragmentation
+        age_w = eff.compaction_age_bias_weight
+        size_w = eff.compaction_size_bias_weight
+        frag_w = eff.compaction_frag_bias_weight
+
+        with self.store.lock:
+            sealed = [
+                (s.seg_id, s.meta.count, s.meta.deleted_count, s.meta.created_at_ms)
+                for s in self.store.segments.values()
+                if s.state == SegmentState.SEALED
+            ]
+        if len(sealed) < min_segs:
+            return []
+
+        min_created = min(s[3] for s in sealed)
+        max_created = max(s[3] for s in sealed)
+        min_count = min(s[1] for s in sealed)
+        max_count = max(s[1] for s in sealed)
+        age_range = max_created - min_created
+        count_range = max_count - min_count
+
+        scored = []
+        for seg_id, count, deleted, created in sealed:
+            age_score = 0.5 if age_range == 0 else (max_created - created) / age_range
+            size_score = 0.5 if count_range == 0 else (max_count - count) / count_range
+            total = count + deleted
+            frag_score = 0.0 if total == 0 else deleted / total
+            composite = age_w * age_score + size_w * size_score + frag_w * frag_score
+            scored.append(((seg_id, count, deleted), composite))
+        scored.sort(key=lambda t: -t[1])
+
+        budget = int(max(1, round(0.8 * max_size)))
+        total_rows = 0
+        pick: list[int] = []
+        # anchor first (if sealed)
+        for (seg_id, count, _), _score in scored:
+            if seg_id == anchor_seg_id:
+                pick.append(seg_id)
+                total_rows += count
+                break
+        for (seg_id, count, _), _score in scored:
+            if seg_id in pick:
+                continue
+            if len(pick) >= max_segs:
+                break
+            pick.append(seg_id)
+            total_rows += count
+            if total_rows >= budget:
+                break
+        if len(pick) < min_segs:
+            return []
+
+        if min_frag > 0.0:
+            total_live = sum(c for (sid, c, d), _ in scored if sid in pick)
+            total_del = sum(d for (sid, c, d), _ in scored if sid in pick)
+            avg_frag = 0.0 if (total_live + total_del) == 0 else total_del / (
+                total_live + total_del
+            )
+            if avg_frag < min_frag:
+                return []
+        return pick
+
+    def count_in_flight_compactions(self) -> int:
+        with self.store.lock:
+            return sum(
+                1
+                for s in self.store.segments.values()
+                if s.state == SegmentState.COMPACTING
+            )
+
+    def mark_candidates_compacting(self, seg_ids: list[int]) -> bool:
+        """Atomically flips all candidates SEALED->COMPACTING, or none
+        (reference: tasks/MaintenanceWorker.java:120-155)."""
+        with self.store.lock:
+            segs = []
+            for sid in seg_ids:
+                seg = self.store.segments.get(sid)
+                if seg is None or seg.state != SegmentState.SEALED:
+                    return False
+                segs.append(seg)
+            for seg in segs:
+                seg.meta.state = SegmentState.COMPACTING
+            self.store.checkpoint_state()
+            return True
+
+    # ------------------------------------------------------------- compaction
+
+    def compact_segments(self, seg_ids: list[int]) -> Optional[int]:
+        """Merges source segments into one new SEALED segment; returns the new
+        segment id, or None if aborted."""
+        t0 = time.monotonic()
+        metrics = get_registry()
+        cfg = self.config
+        store = self.store
+        try:
+            # 1) reserve destination as WRITING (invisible to search :254-271)
+            with store.lock:
+                sources = []
+                for sid in seg_ids:
+                    seg = store.segments.get(sid)
+                    if seg is None or seg.state != SegmentState.COMPACTING:
+                        LOG.warning(
+                            "compact: source %s not COMPACTING; abort", sid
+                        )
+                        return None
+                    sources.append(seg)
+                # The destination sizes itself to the merged live rows — the
+                # planner's 80% budget keeps this under maxSegmentSize in
+                # normal operation, but a manual request_compaction may exceed
+                # it (the reference's FDB segments have no physical cap).
+                total_live = sum(s.meta.count for s in sources)
+                dest_id = store.max_segment_id + 1
+                store.max_segment_id = dest_id
+                dest = store._new_segment(
+                    dest_id, SegmentState.WRITING,
+                    capacity=max(cfg.max_segment_size, total_live),
+                )
+                store.segments[dest_id] = dest  # not in registry => invisible
+
+                # 2) copy live rows + payloads, recording gid -> dest row
+                copy_plan: list[tuple[int, int, int, int]] = []  # (gid, src, vid, dvid)
+                for seg in sources:
+                    for vid in range(seg.next_row):
+                        if not seg.alive_np[vid]:
+                            continue
+                        gid = store.gid_rev.get((seg.seg_id, vid))
+                        if gid is None:
+                            continue
+                        dvid = dest.append_rows(
+                            seg.vectors_np[vid : vid + 1], [seg.payloads[vid]]
+                        )[0]
+                        copy_plan.append((gid, seg.seg_id, vid, dvid))
+                store.checkpoint_state()
+
+            # 3) build + seal destination (PQ + graph; WRITING is buildable)
+            self.build_service.build(dest_id)
+
+            # 4) atomic swap: register dest, drop sources, remap gids; re-apply
+            #    deletes that arrived on sources during the build (:391-414)
+            with store.lock:
+                for gid, src_sid, src_vid, dvid in copy_plan:
+                    loc = store.gid_map.get(gid)
+                    if loc != (src_sid, src_vid):
+                        # deleted (or remapped) while we built: tombstone dest row
+                        if dest.alive_np[dvid]:
+                            dest.alive_np[dvid] = False
+                            dest.meta.count -= 1
+                            dest.meta.deleted_count += 1
+                        continue
+                    store.gid_map[gid] = (dest_id, dvid)
+                    store.gid_rev.pop((src_sid, src_vid), None)
+                    store.gid_rev[(dest_id, dvid)] = gid
+                dest.invalidate_device()
+                store.registry.append(dest_id)
+                for seg in sources:
+                    if seg.seg_id in store.registry:
+                        store.registry.remove(seg.seg_id)
+                    store.segments.pop(seg.seg_id, None)
+                    store.storage.delete_segment(store.name, seg.seg_id)
+                store.checkpoint_segment(dest_id)
+                store.checkpoint_state()
+            metrics.inc("vectorsearch.compaction.run")
+            LOG.info("compacted %s -> %d", seg_ids, dest_id)
+            return dest_id
+        finally:
+            metrics.record(
+                "vectorsearch.compaction.duration_ms",
+                (time.monotonic() - t0) * 1000.0,
+            )

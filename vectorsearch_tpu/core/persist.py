@@ -1,0 +1,226 @@
+"""Durability backends — the analogue of the reference's FoundationDB layer.
+
+The reference stores every mutation transactionally in FDB (SURVEY.md §5.4:
+"FDB is the single source of truth"). On TPU the authoritative working state is
+host RAM + HBM; durability is provided by checkpointing through one of these
+backends at lifecycle boundaries (segment rotation, seal, vacuum, compaction)
+plus explicit `VectorIndex.checkpoint()` calls.
+
+Two backends:
+- MemoryStorage: keeps everything in process memory. The default for tests and
+  ephemeral serving (like the reference's tests against a throwaway FDB
+  namespace). Reopen semantics (meta validation) still work.
+- DiskStorage: JSON metadata + .npz array files under a directory.
+
+The storage schema mirrors the reference's directory layout
+(fdb/FdbDirectories.java:291-308):
+  <index>/meta            -> IndexMeta json
+  <index>/state           -> {current_segment, max_segment_id, next_gid,
+                              registry: [segIds], segment_metas, gid_map, gid_rev}
+  <index>/segments/<id>   -> arrays npz (vectors, alive, exists, codes,
+                              codebook, adjacency) + payloads
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import threading
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class IndexStorage:
+    """Abstract storage backend. All methods are thread-safe."""
+
+    def list_indexes(self) -> list[str]:
+        raise NotImplementedError
+
+    def read_meta(self, name: str) -> Optional[dict]:
+        raise NotImplementedError
+
+    def write_meta(self, name: str, meta: dict) -> None:
+        raise NotImplementedError
+
+    def read_state(self, name: str) -> Optional[dict]:
+        raise NotImplementedError
+
+    def write_state(self, name: str, state: dict) -> None:
+        raise NotImplementedError
+
+    def write_segment(self, name: str, seg_id: int, arrays: Dict[str, np.ndarray],
+                      payloads: Optional[list] = None) -> None:
+        raise NotImplementedError
+
+    def read_segment(self, name: str, seg_id: int) -> Optional[dict]:
+        """Returns {"arrays": {...}, "payloads": [...]} or None."""
+        raise NotImplementedError
+
+    def delete_segment(self, name: str, seg_id: int) -> None:
+        raise NotImplementedError
+
+    def delete_index(self, name: str) -> None:
+        raise NotImplementedError
+
+
+class MemoryStorage(IndexStorage):
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._meta: Dict[str, dict] = {}
+        self._state: Dict[str, dict] = {}
+        self._segments: Dict[str, Dict[int, dict]] = {}
+
+    def list_indexes(self):
+        with self._lock:
+            return sorted(self._meta)
+
+    def read_meta(self, name):
+        with self._lock:
+            m = self._meta.get(name)
+            return json.loads(json.dumps(m)) if m is not None else None
+
+    def write_meta(self, name, meta):
+        with self._lock:
+            self._meta[name] = json.loads(json.dumps(meta))
+
+    def read_state(self, name):
+        with self._lock:
+            s = self._state.get(name)
+            return pickle.loads(pickle.dumps(s)) if s is not None else None
+
+    def write_state(self, name, state):
+        with self._lock:
+            self._state[name] = pickle.loads(pickle.dumps(state))
+
+    def write_segment(self, name, seg_id, arrays, payloads=None):
+        with self._lock:
+            self._segments.setdefault(name, {})[seg_id] = {
+                "arrays": {k: np.array(v, copy=True) for k, v in arrays.items()},
+                "payloads": list(payloads) if payloads is not None else None,
+            }
+
+    def read_segment(self, name, seg_id):
+        with self._lock:
+            rec = self._segments.get(name, {}).get(seg_id)
+            if rec is None:
+                return None
+            return {
+                "arrays": {k: np.array(v, copy=True) for k, v in rec["arrays"].items()},
+                "payloads": list(rec["payloads"]) if rec["payloads"] is not None else None,
+            }
+
+    def delete_segment(self, name, seg_id):
+        with self._lock:
+            self._segments.get(name, {}).pop(seg_id, None)
+
+    def delete_index(self, name):
+        with self._lock:
+            self._meta.pop(name, None)
+            self._state.pop(name, None)
+            self._segments.pop(name, None)
+
+
+class DiskStorage(IndexStorage):
+    """Directory-backed storage: JSON for metadata, npz+pickle for segment data."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._lock = threading.RLock()
+        os.makedirs(root, exist_ok=True)
+
+    def _idx(self, name: str) -> str:
+        safe = name.replace("/", "__")
+        return os.path.join(self.root, safe)
+
+    def list_indexes(self):
+        with self._lock:
+            out = []
+            for d in sorted(os.listdir(self.root)):
+                if os.path.exists(os.path.join(self.root, d, "meta.json")):
+                    out.append(d.replace("__", "/"))
+            return out
+
+    def _read_json(self, path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_json(self, path, obj):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)  # atomic swap: crash-consistent like an FDB commit
+
+    def read_meta(self, name):
+        with self._lock:
+            return self._read_json(os.path.join(self._idx(name), "meta.json"))
+
+    def write_meta(self, name, meta):
+        with self._lock:
+            os.makedirs(self._idx(name), exist_ok=True)
+            self._write_json(os.path.join(self._idx(name), "meta.json"), meta)
+
+    def read_state(self, name):
+        with self._lock:
+            p = os.path.join(self._idx(name), "state.pkl")
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as f:
+                return pickle.load(f)
+
+    def write_state(self, name, state):
+        with self._lock:
+            os.makedirs(self._idx(name), exist_ok=True)
+            p = os.path.join(self._idx(name), "state.pkl")
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(state, f)
+            os.replace(tmp, p)
+
+    def _seg_dir(self, name):
+        return os.path.join(self._idx(name), "segments")
+
+    def write_segment(self, name, seg_id, arrays, payloads=None):
+        with self._lock:
+            d = self._seg_dir(name)
+            os.makedirs(d, exist_ok=True)
+            npz = os.path.join(d, f"{seg_id}.npz")
+            tmp = npz + ".tmp.npz"
+            np.savez_compressed(tmp, **arrays)
+            os.replace(tmp, npz)
+            pp = os.path.join(d, f"{seg_id}.payloads.pkl")
+            tmpp = pp + ".tmp"
+            with open(tmpp, "wb") as f:
+                pickle.dump(payloads, f)
+            os.replace(tmpp, pp)
+
+    def read_segment(self, name, seg_id):
+        with self._lock:
+            npz = os.path.join(self._seg_dir(name), f"{seg_id}.npz")
+            if not os.path.exists(npz):
+                return None
+            with np.load(npz, allow_pickle=False) as z:
+                arrays = {k: z[k] for k in z.files}
+            pp = os.path.join(self._seg_dir(name), f"{seg_id}.payloads.pkl")
+            payloads = None
+            if os.path.exists(pp):
+                with open(pp, "rb") as f:
+                    payloads = pickle.load(f)
+            return {"arrays": arrays, "payloads": payloads}
+
+    def delete_segment(self, name, seg_id):
+        with self._lock:
+            for suffix in (f"{seg_id}.npz", f"{seg_id}.payloads.pkl"):
+                p = os.path.join(self._seg_dir(name), suffix)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def delete_index(self, name):
+        with self._lock:
+            import shutil
+
+            if os.path.exists(self._idx(name)):
+                shutil.rmtree(self._idx(name))

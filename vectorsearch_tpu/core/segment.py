@@ -1,0 +1,279 @@
+"""Segment runtime: host staging + HBM-resident tensor bundle.
+
+The reference stores a segment as FDB key ranges (vectors/<vecId>,
+pq/codes/<vecId>, graph/<vecId>; fdb/FdbDirectories.java:291-308). Here a
+segment is a fixed-capacity tensor bundle:
+
+  vectors   f32[cap_pad, D]   raw rows (pad rows zero)
+  exists    bool[cap_pad]     row was written (search-visible incl. tombstones)
+  alive     bool[cap_pad]     row not tombstoned (exact re-rank filter)
+  codes     u8[cap_pad, M]    PQ codes (sealed only)
+  codebook  f32[M, K, D/M]    (sealed only)
+  adjacency i32[cap_pad, R]   (-1 padded; sealed only)
+
+Host numpy arrays are authoritative (they survive device loss and feed the
+durability layer); the device copy is synchronized incrementally — appended
+row ranges and tombstone flips are applied with jitted dynamic-update ops so
+an insert never re-uploads the whole segment.
+
+Capacity is padded up to a lane multiple (128) so every kernel sees aligned
+static shapes; `exists` masks the pad rows out of all results.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorsearch_tpu.types import SegmentMeta, SegmentState
+
+_LANE = 128
+
+
+def pad_cap(n: int) -> int:
+    return max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
+
+
+# No donation here on purpose: updates produce NEW device arrays (copy-on-write
+# at HBM bandwidth) while in-flight queries keep reading the old snapshot —
+# the TPU answer to FDB's snapshot isolation (SURVEY.md §7 hard part #4).
+@jax.jit
+def _update_rows(dst: jax.Array, rows: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(dst, rows, (start, jnp.int32(0)))
+
+
+@jax.jit
+def _update_flags(dst: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
+    return dst.at[idx].set(values)
+
+
+class Segment:
+    """One segment's runtime state. Thread-safety: all mutation goes through
+    the owning index's lock; device sync is internally locked so concurrent
+    readers can trigger it safely."""
+
+    def __init__(self, meta: SegmentMeta, capacity: int, dim: int, device=None):
+        self.meta = meta
+        self.capacity = capacity
+        self.cap_pad = pad_cap(capacity)
+        self.dim = dim
+        self.device = device
+
+        self.vectors_np = np.zeros((self.cap_pad, dim), np.float32)
+        self.exists_np = np.zeros(self.cap_pad, bool)
+        self.alive_np = np.zeros(self.cap_pad, bool)
+        self.payloads: list = [None] * self.cap_pad
+        self.next_row = 0  # rows [0, next_row) were ever written
+
+        # sealed artifacts (host side; None until built)
+        self.codes_np: Optional[np.ndarray] = None
+        self.codebook_np: Optional[np.ndarray] = None
+        self.adjacency_np: Optional[np.ndarray] = None
+
+        # device mirrors
+        self._dev_lock = threading.Lock()
+        self._vectors_dev: Optional[jax.Array] = None
+        self._alive_dev: Optional[jax.Array] = None
+        self._exists_dev: Optional[jax.Array] = None
+        self._codes_dev: Optional[jax.Array] = None
+        self._codebook_dev: Optional[jax.Array] = None
+        self._adjacency_dev: Optional[jax.Array] = None
+        self._dev_rows = 0  # rows synced to device
+        self._pending_flag_updates: list[tuple[int, bool]] = []  # (row, alive)
+
+    # ------------------------------------------------------------------ host
+
+    @property
+    def seg_id(self) -> int:
+        return self.meta.segment_id
+
+    @property
+    def state(self) -> SegmentState:
+        return self.meta.state
+
+    def remaining_capacity(self) -> int:
+        return self.capacity - self.next_row
+
+    def append_rows(self, rows: np.ndarray, payloads: list) -> list[int]:
+        """Appends rows (host side); returns the assigned vector ids."""
+        n = rows.shape[0]
+        if n > self.remaining_capacity():
+            raise ValueError(
+                f"segment {self.seg_id}: capacity exceeded "
+                f"({self.next_row}+{n} > {self.capacity})"
+            )
+        start = self.next_row
+        self.vectors_np[start : start + n] = rows
+        self.exists_np[start : start + n] = True
+        self.alive_np[start : start + n] = True
+        for i, p in enumerate(payloads):
+            self.payloads[start + i] = p
+        self.next_row += n
+        self.meta.count += n
+        return list(range(start, start + n))
+
+    def tombstone(self, vec_id: int) -> bool:
+        """Marks a row deleted; returns False if it wasn't alive."""
+        if vec_id < 0 or vec_id >= self.next_row or not self.alive_np[vec_id]:
+            return False
+        self.alive_np[vec_id] = False
+        self.meta.count -= 1
+        self.meta.deleted_count += 1
+        with self._dev_lock:
+            self._pending_flag_updates.append((vec_id, False))
+        return True
+
+    def remove_row(self, vec_id: int) -> None:
+        """Physically clears a row (vacuum): drops data + tombstone."""
+        self.exists_np[vec_id] = False
+        self.alive_np[vec_id] = False
+        self.payloads[vec_id] = None
+        self.vectors_np[vec_id] = 0.0
+        if self.codes_np is not None:
+            self.codes_np[vec_id] = 0
+        if self.adjacency_np is not None:
+            self.adjacency_np[vec_id] = -1
+
+    def attach_build_artifacts(
+        self, codes: np.ndarray, codebook: np.ndarray, adjacency: np.ndarray
+    ) -> None:
+        assert codes.shape[0] == self.cap_pad and adjacency.shape[0] == self.cap_pad
+        self.codes_np = codes
+        self.codebook_np = codebook
+        self.adjacency_np = adjacency
+        with self._dev_lock:
+            self._codes_dev = None
+            self._codebook_dev = None
+            self._adjacency_dev = None
+
+    def invalidate_device(self) -> None:
+        with self._dev_lock:
+            self._vectors_dev = None
+            self._alive_dev = None
+            self._exists_dev = None
+            self._codes_dev = None
+            self._codebook_dev = None
+            self._adjacency_dev = None
+            self._dev_rows = 0
+            self._pending_flag_updates.clear()
+
+    # ---------------------------------------------------------------- device
+
+    def _put(self, arr: np.ndarray) -> jax.Array:
+        if self.device is not None:
+            return jax.device_put(arr, self.device)
+        return jnp.asarray(arr)
+
+    def sync_device(self) -> None:
+        """Brings the device mirror up to date: uploads appended row ranges and
+        applies pending tombstone flips (incremental, no full re-upload)."""
+        with self._dev_lock:
+            if self._vectors_dev is None:
+                self._vectors_dev = self._put(self.vectors_np)
+                self._alive_dev = self._put(self.alive_np)
+                self._exists_dev = self._put(self.exists_np)
+                self._dev_rows = self.next_row
+                self._pending_flag_updates.clear()
+                return
+            if self.next_row > self._dev_rows:
+                start, stop = self._dev_rows, self.next_row
+                rows = self._put(self.vectors_np[start:stop])
+                self._vectors_dev = _update_rows(
+                    self._vectors_dev, rows, jnp.int32(start)
+                )
+                idx = jnp.arange(start, stop, dtype=jnp.int32)
+                self._exists_dev = _update_flags(
+                    self._exists_dev, idx, jnp.ones(stop - start, bool)
+                )
+                self._alive_dev = _update_flags(
+                    self._alive_dev, idx, self._put(self.alive_np[start:stop])
+                )
+                self._dev_rows = stop
+            if self._pending_flag_updates:
+                ids = np.array([i for i, _ in self._pending_flag_updates], np.int32)
+                vals = np.array([v for _, v in self._pending_flag_updates], bool)
+                self._alive_dev = _update_flags(
+                    self._alive_dev, self._put(ids), self._put(vals)
+                )
+                self._pending_flag_updates.clear()
+
+    @property
+    def vectors_dev(self) -> jax.Array:
+        self.sync_device()
+        return self._vectors_dev
+
+    @property
+    def alive_dev(self) -> jax.Array:
+        self.sync_device()
+        return self._alive_dev
+
+    @property
+    def exists_dev(self) -> jax.Array:
+        self.sync_device()
+        return self._exists_dev
+
+    @property
+    def codes_dev(self) -> Optional[jax.Array]:
+        with self._dev_lock:
+            if self._codes_dev is None and self.codes_np is not None:
+                self._codes_dev = self._put(self.codes_np)
+            return self._codes_dev
+
+    @property
+    def codebook_dev(self) -> Optional[jax.Array]:
+        with self._dev_lock:
+            if self._codebook_dev is None and self.codebook_np is not None:
+                self._codebook_dev = self._put(self.codebook_np)
+            return self._codebook_dev
+
+    @property
+    def adjacency_dev(self) -> Optional[jax.Array]:
+        with self._dev_lock:
+            if self._adjacency_dev is None and self.adjacency_np is not None:
+                self._adjacency_dev = self._put(self.adjacency_np)
+            return self._adjacency_dev
+
+    # ------------------------------------------------------------ persistence
+
+    def to_arrays(self) -> dict:
+        arrays = {
+            "vectors": self.vectors_np[: self.next_row],
+            "exists": self.exists_np[: self.next_row],
+            "alive": self.alive_np[: self.next_row],
+            "next_row": np.array([self.next_row], np.int64),
+            "capacity": np.array([self.capacity], np.int64),
+        }
+        if self.codes_np is not None:
+            arrays["codes"] = self.codes_np
+            arrays["codebook"] = self.codebook_np
+            arrays["adjacency"] = self.adjacency_np
+        return arrays
+
+    @staticmethod
+    def from_arrays(
+        meta: SegmentMeta, capacity: int, dim: int, rec: dict, device=None
+    ) -> "Segment":
+        arrays = rec["arrays"]
+        if "capacity" in arrays:
+            # compacted segments may exceed maxSegmentSize (reference segments
+            # have no physical cap); restore the persisted capacity
+            capacity = max(capacity, int(arrays["capacity"][0]))
+        seg = Segment(meta, capacity, dim, device=device)
+        n = int(arrays["next_row"][0])
+        seg.next_row = n
+        seg.vectors_np[:n] = arrays["vectors"]
+        seg.exists_np[:n] = arrays["exists"]
+        seg.alive_np[:n] = arrays["alive"]
+        if rec.get("payloads"):
+            for i, p in enumerate(rec["payloads"][: seg.cap_pad]):
+                seg.payloads[i] = p
+        if "codes" in arrays:
+            seg.codes_np = np.array(arrays["codes"])
+            seg.codebook_np = np.array(arrays["codebook"])
+            seg.adjacency_np = np.array(arrays["adjacency"])
+        return seg

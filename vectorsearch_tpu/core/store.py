@@ -1,0 +1,267 @@
+"""VectorStore: segment lifecycle + ingest engine
+(reference: fdb/FdbVectorStore.java:41-767).
+
+Owns the mutable index state: the segment registry, the ACTIVE segment with
+strict-cap rotation, the monotonic gid counter, and the gid<->(segId,vecId)
+maps. All mutations serialize on one RLock — the host-side single-writer
+replacement for FDB transactions; queries snapshot the segment list under the
+lock and then run lock-free on immutable device arrays.
+
+Rotation semantics (parity-critical; reference :425-539):
+- On write entry, if the ACTIVE segment has zero remaining capacity, rotate
+  first (ACTIVE->PENDING, create next ACTIVE, registry entry, enqueue
+  "build-segment:<id>" atomically) and continue writing into the new ACTIVE.
+- After writes, if count >= maxSegmentSize, rotate immediately — so a full
+  segment never stays ACTIVE (strict cap).
+
+Deletes are tombstones grouped by segment: flip alive, count--, deleted++,
+clear both gid mappings (reference :276-423).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from vectorsearch_tpu.config import VectorIndexConfig
+from vectorsearch_tpu.core.segment import Segment
+from vectorsearch_tpu.core.tasks import BuildTask
+from vectorsearch_tpu.types import IndexMeta, SegmentMeta, SegmentState
+
+LOG = logging.getLogger("vectorsearch_tpu.store")
+
+
+class VectorStore:
+    def __init__(self, config: VectorIndexConfig, build_queue):
+        self.config = config
+        self.storage = config.storage
+        self.name = config.name
+        self.build_queue = build_queue
+        self.lock = threading.RLock()
+
+        self.segments: Dict[int, Segment] = {}
+        self.registry: list[int] = []  # live segment ids (segmentsIndex analogue)
+        self.current_segment: int = 0
+        self.max_segment_id: int = 0
+        self.next_gid: int = 0
+        self.gid_map: Dict[int, tuple[int, int]] = {}  # gid -> (segId, vecId)
+        self.gid_rev: Dict[tuple[int, int], int] = {}  # (segId, vecId) -> gid
+
+    # ------------------------------------------------------------------ open
+
+    def create_or_open(self) -> None:
+        """Create-or-open with IndexMeta validation
+        (reference: fdb/FdbVectorStore.java:71-166)."""
+        meta_json = self.storage.read_meta(self.name)
+        if meta_json is not None:
+            existing = IndexMeta.from_json(meta_json)
+            self.config.validate_against_meta(existing)
+            self._load_state()
+            return
+        # fresh index: persist meta, seed segment 0 as ACTIVE
+        self.storage.write_meta(self.name, self.config.to_index_meta().to_json())
+        with self.lock:
+            seg0 = self._new_segment(0, SegmentState.ACTIVE)
+            self.segments[0] = seg0
+            self.registry = [0]
+            self.current_segment = 0
+            self.max_segment_id = 0
+            self.checkpoint_state()
+
+    def _new_segment(self, seg_id: int, state: SegmentState,
+                     capacity: int | None = None) -> Segment:
+        meta = SegmentMeta(
+            segment_id=seg_id,
+            state=state,
+            created_at_ms=self.config.effective.clock_ms(),
+        )
+        return Segment(
+            meta, capacity or self.config.max_segment_size, self.config.dimension,
+            device=self.config.device,
+        )
+
+    def _load_state(self) -> None:
+        state = self.storage.read_state(self.name)
+        if state is None:
+            # meta exists but no state yet — treat as fresh
+            with self.lock:
+                seg0 = self._new_segment(0, SegmentState.ACTIVE)
+                self.segments[0] = seg0
+                self.registry = [0]
+                self.checkpoint_state()
+            return
+        with self.lock:
+            self.current_segment = state["current_segment"]
+            self.max_segment_id = state["max_segment_id"]
+            self.next_gid = state["next_gid"]
+            self.registry = list(state["registry"])
+            self.gid_map = {int(k): tuple(v) for k, v in state["gid_map"].items()}
+            self.gid_rev = {tuple(k): int(v) for k, v in state["gid_rev"]}
+            self.segments = {}
+            for sid, meta_json in state["segment_metas"].items():
+                sid = int(sid)
+                meta = SegmentMeta.from_json(meta_json)
+                rec = self.storage.read_segment(self.name, sid)
+                if rec is None:
+                    seg = self._new_segment(sid, meta.state)
+                    seg.meta = meta
+                else:
+                    seg = Segment.from_arrays(
+                        meta, self.config.max_segment_size, self.config.dimension,
+                        rec, device=self.config.device,
+                    )
+                self.segments[sid] = seg
+            # Crash recovery: interrupted builds resume from the queue — the
+            # reference's queue lives in FDB; ours is in-process, so re-enqueue
+            # builds for any PENDING/WRITING segment found on open.
+            for sid, seg in self.segments.items():
+                if seg.state in (SegmentState.PENDING, SegmentState.WRITING):
+                    self.enqueue_build_task(sid)
+
+    # ------------------------------------------------------------ durability
+
+    def checkpoint_state(self) -> None:
+        """Persists control-plane state (call with lock held or externally
+        consistent)."""
+        state = {
+            "current_segment": self.current_segment,
+            "max_segment_id": self.max_segment_id,
+            "next_gid": self.next_gid,
+            "registry": list(self.registry),
+            "segment_metas": {
+                sid: seg.meta.to_json() for sid, seg in self.segments.items()
+            },
+            "gid_map": {k: list(v) for k, v in self.gid_map.items()},
+            "gid_rev": [[list(k), v] for k, v in self.gid_rev.items()],
+        }
+        self.storage.write_state(self.name, state)
+
+    def checkpoint_segment(self, seg_id: int) -> None:
+        seg = self.segments.get(seg_id)
+        if seg is None:
+            return
+        self.storage.write_segment(
+            self.name, seg_id, seg.to_arrays(), seg.payloads[: seg.next_row]
+        )
+
+    def checkpoint_all(self) -> None:
+        with self.lock:
+            for sid in list(self.segments):
+                self.checkpoint_segment(sid)
+            self.checkpoint_state()
+
+    # ---------------------------------------------------------------- ingest
+
+    def add_batch(self, embeddings: np.ndarray, payloads: Optional[list]) -> list[int]:
+        """Inserts a batch, rotating as needed; returns assigned gids
+        (reference: addBatch loop :210-226 + writeOnce :425-492)."""
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.config.dimension:
+            raise ValueError(
+                f"embedding dimension mismatch: expected {self.config.dimension}, "
+                f"got {embeddings.shape[-1] if embeddings.ndim else 'scalar'}"
+            )
+        n = embeddings.shape[0]
+        # addAll payload rules (reference: api/VectorIndex.java:78-88):
+        # short/None payloads -> missing entries None; extra payloads ignored.
+        plist: list = [None] * n
+        if payloads is not None:
+            for i in range(min(n, len(payloads))):
+                plist[i] = payloads[i]
+
+        gids: list[int] = []
+        offset = 0
+        with self.lock:
+            while offset < n:
+                seg = self.segments[self.current_segment]
+                if seg.state != SegmentState.ACTIVE:
+                    raise RuntimeError(
+                        f"current segment {seg.seg_id} not ACTIVE: {seg.state}"
+                    )
+                cap = seg.remaining_capacity()
+                if cap == 0:
+                    self._rotate_locked()
+                    continue
+                take = min(cap, n - offset)
+                vec_ids = seg.append_rows(
+                    embeddings[offset : offset + take],
+                    plist[offset : offset + take],
+                )
+                for vid in vec_ids:
+                    gid = self.next_gid
+                    self.next_gid += 1
+                    self.gid_map[gid] = (seg.seg_id, vid)
+                    self.gid_rev[(seg.seg_id, vid)] = gid
+                    gids.append(gid)
+                offset += take
+                # strict cap: rotate immediately when full (reference :494-510)
+                if seg.remaining_capacity() == 0:
+                    self._rotate_locked()
+        return gids
+
+    def _rotate_locked(self) -> None:
+        """ACTIVE->PENDING + create next ACTIVE + registry + build-task enqueue,
+        all under the lock (the reference does this in one FDB txn :512-539)."""
+        old = self.segments[self.current_segment]
+        old.meta.state = SegmentState.PENDING
+        new_id = self.max_segment_id + 1
+        self.max_segment_id = new_id
+        self.current_segment = new_id
+        seg = self._new_segment(new_id, SegmentState.ACTIVE)
+        self.segments[new_id] = seg
+        self.registry.append(new_id)
+        self.enqueue_build_task(old.seg_id)
+        LOG.debug("rotated segment %d -> PENDING; new ACTIVE %d", old.seg_id, new_id)
+        self.checkpoint_segment(old.seg_id)
+        self.checkpoint_state()
+
+    def enqueue_build_task(self, seg_id: int) -> None:
+        """Idempotent key "build-segment:<id>" (reference :723-727)."""
+        if self.build_queue is not None:
+            self.build_queue.enqueue_if_not_exists(
+                f"build-segment:{seg_id}", BuildTask(seg_id)
+            )
+
+    # ---------------------------------------------------------------- delete
+
+    def delete_batch(self, gids) -> list[int]:
+        """Tombstones gids; returns the affected segment ids
+        (reference: deleteBatch :276-423). Unknown gids are ignored."""
+        affected: list[int] = []
+        with self.lock:
+            by_seg: Dict[int, list[tuple[int, int]]] = {}
+            for gid in gids:
+                loc = self.gid_map.get(int(gid))
+                if loc is None:
+                    continue
+                by_seg.setdefault(loc[0], []).append((int(gid), loc[1]))
+            for seg_id, pairs in by_seg.items():
+                seg = self.segments.get(seg_id)
+                if seg is None:
+                    continue
+                for gid, vid in pairs:
+                    if seg.tombstone(vid):
+                        self.gid_map.pop(gid, None)
+                        self.gid_rev.pop((seg_id, vid), None)
+                affected.append(seg_id)
+            if affected:
+                self.checkpoint_state()
+        return affected
+
+    # ----------------------------------------------------------------- query
+
+    def snapshot_segments(self) -> list[Segment]:
+        """Consistent segment-set snapshot for a query (registry order)."""
+        with self.lock:
+            return [self.segments[sid] for sid in self.registry if sid in self.segments]
+
+    def resolve_gid(self, gid: int) -> tuple[int, int]:
+        with self.lock:
+            return self.gid_map.get(int(gid), (-1, -1))
+
+    def gid_for(self, seg_id: int, vec_id: int) -> Optional[int]:
+        with self.lock:
+            return self.gid_rev.get((seg_id, vec_id))

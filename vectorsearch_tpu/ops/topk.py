@@ -42,10 +42,20 @@ def brute_force_topk(
             jnp.pad(i, pad, constant_values=-1),
         )
     top_scores, top_idx = jax.lax.top_k(masked, k)
-    top_dist = jnp.take_along_axis(distances, top_idx, axis=1)
     keep = top_scores > NEG_INF
+    # Re-derive exact distances for the winners with the direct (a-b)^2 form:
+    # the matmul expansion used for the scan carries ~1e-6 absolute error from
+    # cancellation; the k gathered rows are cheap to score exactly.
+    top_vecs = x[jnp.maximum(top_idx, 0)].astype(jnp.float32)  # [Q, k, D]
+    if metric == "COSINE":
+        top_dist = jnp.take_along_axis(distances, top_idx, axis=1)
+        top_scores = jnp.where(keep, top_scores, NEG_INF)
+    else:
+        diff = top_vecs - q.astype(jnp.float32)[:, None, :]
+        top_dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        top_scores = jnp.where(keep, -top_dist, NEG_INF)
     return (
-        jnp.where(keep, top_scores, NEG_INF),
+        top_scores,
         jnp.where(keep, top_dist, jnp.float32(jnp.inf)),
         jnp.where(keep, top_idx, -1),
     )

