@@ -50,8 +50,8 @@ def main():
         idx.build_service.build(c.payload.seg_id)
         c.complete()
 
-    queries = rng.normal(size=(4096, d)).astype(np.float32)
-    batch = 256
+    queries = rng.normal(size=(8192, d)).astype(np.float32)
+    batch = 512
 
     # correctness gate first: self-recall@10 >= 0.9 (reference floor)
     probe = idx.query_batch(x[:100], k)

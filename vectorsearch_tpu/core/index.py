@@ -23,6 +23,7 @@ Auto-tune (ported verbatim from fdb/FdbVectorIndex.java:772-784):
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import threading
@@ -38,6 +39,7 @@ from vectorsearch_tpu.core.build import SegmentBuildService
 from vectorsearch_tpu.core.caches import SegmentCaches
 from vectorsearch_tpu.core.maintenance import MaintenanceService
 from vectorsearch_tpu.core.segment import Segment
+from vectorsearch_tpu.core.stack import StackCache
 from vectorsearch_tpu.core.store import VectorStore
 from vectorsearch_tpu.core.tasks import (
     CompactTask,
@@ -66,6 +68,137 @@ def _bucket(n: int, lo: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric",
+    ),
+)
+def _sealed_query_step(
+    q, vectors, codebook, codes, adjacency, exists, alive,
+    ef_dyn, beam_dyn,
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+):
+    """The fused sealed-segment query: LUT build -> full ADC scan -> seed
+    top-k -> graph expansion -> exact re-rank, one XLA program
+    (the composition of fdb/FdbVectorIndex.java:730-837 as a single kernel).
+    """
+    lut = pq_ops.build_lut(q, codebook)
+    approx = pq_ops.adc_scan(lut, codes, exists)
+    neg_seed, seed_idx = jax.lax.top_k(-approx, beam_buf)
+    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+    cand_idx, _cand_d = traversal_ops.graph_expand(
+        lut, codes, adjacency, exists, seed_idx, -neg_seed,
+        ef_dyn, beam_dyn,
+        ef_buf=ef_buf, beam_buf=beam_buf,
+        max_steps=max_steps, min_steps=min_steps,
+        refine_frontier=refine_frontier,
+    )
+    return traversal_ops.exact_rerank(q, vectors, alive, cand_idx, rr, metric)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric",
+    ),
+)
+def _sealed_query_slot_step(
+    q, vectors, codebook, codes, adjacency, exists, alive,
+    ef_dyn, beam_dyn, slot_base,
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+):
+    """_sealed_query_step plus the per-result segment-slot array, so the
+    per-segment dispatch is exactly one XLA call."""
+    sc, di, iv = _sealed_query_step(
+        q, vectors, codebook, codes, adjacency, exists, alive,
+        ef_dyn, beam_dyn,
+        ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+        min_steps=min_steps, refine_frontier=refine_frontier,
+        rr=rr, metric=metric,
+    )
+    slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
+    return sc, di, iv, slots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric",
+    ),
+)
+def _stacked_sealed_query(
+    q,  # f32[Q, D]
+    vectors,  # f32[S, N, D]
+    codebooks,  # f32[S, M, K, sub]
+    codes,  # u8[S, N, M]
+    adjacency,  # i32[S, N, R]
+    exists,  # bool[S, N]
+    alive,  # bool[S, N]
+    ef_arr,  # i32[S] per-segment tuned ef
+    beam_arr,  # i32[S] per-segment tuned beam
+    slot_base,  # i32 scalar: global segment-slot offset of this stack
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+):
+    """ALL sealed segments in one XLA program: vmap of the fused sealed query
+    over the stacked segment axis, results flattened to [Q, S*rr] with a
+    slot array mapping each column back to its segment."""
+
+    def one(vec, cb, code, adj, ex, al, ef, beam):
+        return _sealed_query_step(
+            q, vec, cb, code, adj, ex, al, ef, beam,
+            ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+            min_steps=min_steps, refine_frontier=refine_frontier,
+            rr=rr, metric=metric,
+        )
+
+    s, d, i = jax.vmap(one)(
+        vectors, codebooks, codes, adjacency, exists, alive, ef_arr, beam_arr
+    )  # [S, Q, rr] each
+    qn = q.shape[0]
+    n_seg = vectors.shape[0]
+    s2 = jnp.moveaxis(s, 0, 1).reshape(qn, n_seg * rr)
+    d2 = jnp.moveaxis(d, 0, 1).reshape(qn, n_seg * rr)
+    i2 = jnp.moveaxis(i, 0, 1).reshape(qn, n_seg * rr)
+    slot = slot_base + jax.lax.broadcasted_iota(jnp.int32, (n_seg, rr), 0).reshape(
+        1, n_seg * rr
+    )
+    slot2 = jnp.broadcast_to(slot, (qn, n_seg * rr))
+    slot2 = jnp.where(i2 >= 0, slot2, -1)
+    return s2, d2, i2, slot2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "n_per_seg"))
+def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg):
+    """ALL brute-force segments in one flattened pairwise matmul + top-k;
+    flat row ids decompose into (segment slot, vector id)."""
+    scores, dists, idx = topk_ops.brute_force_topk(q, x_flat, valid_flat, k, metric)
+    slot = jnp.where(idx >= 0, slot_base + idx // n_per_seg, -1)
+    vid = jnp.where(idx >= 0, idx % n_per_seg, -1)
+    return scores, dists, vid, slot
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_entries(scores_t, dists_t, vids_t, slots_t, k):
+    """Cross-segment merge of all result groups in one program
+    (the reference's score merge, fdb/FdbVectorIndex.java:432-469)."""
+    scores = jnp.concatenate(scores_t, axis=1)
+    dists = jnp.concatenate(dists_t, axis=1)
+    vids = jnp.concatenate(vids_t, axis=1)
+    slots = jnp.concatenate(slots_t, axis=1)
+    kk = min(k, scores.shape[1])
+    top_s, pos = jax.lax.top_k(scores, kk)
+    return (
+        top_s,
+        jnp.take_along_axis(dists, pos, axis=1),
+        jnp.take_along_axis(vids, pos, axis=1),
+        jnp.take_along_axis(slots, pos, axis=1),
+    )
 
 
 class VectorIndex:
@@ -100,6 +233,7 @@ class VectorIndex:
 
         self.store = VectorStore(config, self.build_queue)
         self.store.create_or_open()
+        self._stacks = StackCache()
         self.caches = SegmentCaches(self.store)
         self.build_service = SegmentBuildService(config, self.store)
         self.maintenance = MaintenanceService(
@@ -269,82 +403,160 @@ class VectorIndex:
 
         segments = self.store.snapshot_segments()
         per_seg_limit = max(k, k * max(1, self.config.oversample))
-
-        sealed = [s for s in segments if s.state in GRAPH_STATES]
-        if self.config.effective.prefetch_codebooks_enabled and sealed:
-            # In-process prefetch is synchronous either way; the sync flag is
-            # honored for API parity (reference :377-416).
-            self.caches.prefetch_codebooks(sealed)
-
-        qd = jnp.asarray(qs)
-        per_segment: list[tuple[np.ndarray, np.ndarray, list]] = []
         nq = qs.shape[0]
+
+        brute_segs: list[Segment] = []
+        sealed_segs: list[Segment] = []
         for seg in segments:
             if seg.state in BRUTE_FORCE_STATES:
-                res = self._search_brute_force(qd, seg, per_seg_limit)
+                if seg.next_row > 0:
+                    brute_segs.append(seg)
             elif seg.state in GRAPH_STATES:
-                res = self._search_sealed(qd, qs, seg, k, per_seg_limit, params)
-            else:  # WRITING: invisible (reference :646-649)
+                if seg.codes_np is None:
+                    # SEALED without artifacts (shouldn't happen): brute force
+                    if seg.next_row > 0:
+                        brute_segs.append(seg)
+                elif int(np.count_nonzero(seg.exists_np[: seg.next_row])) > 0:
+                    sealed_segs.append(seg)
+            # WRITING: invisible (reference :646-649)
+
+        if self.config.effective.prefetch_codebooks_enabled and sealed_segs:
+            # In-process prefetch is synchronous either way; the sync flag is
+            # honored for API parity (reference :377-416).
+            self.caches.prefetch_codebooks(sealed_segs)
+
+        qd = jnp.asarray(qs)
+        seg_list: list[Segment] = []  # global slot -> Segment
+        entries: list[tuple] = []  # (scores, dists, vids, slots) device arrays
+
+        # --- brute-force segments: one flattened matmul per shape group ---
+        groups: dict[int, list[Segment]] = {}
+        for seg in brute_segs:
+            groups.setdefault(seg.cap_pad, []).append(seg)
+        for cap, group in groups.items():
+            stack = self._stacks.brute(group)
+            base = len(seg_list)
+            seg_list.extend(group)
+            entries.append(
+                _stacked_brute_query(
+                    qd, stack.vectors, stack.alive, base,
+                    k=min(per_seg_limit, cap * len(group)),
+                    metric=self.config.metric, n_per_seg=cap,
+                )
+            )
+
+        # --- sealed segments: one vmapped fused query per shape group ---
+        use_stacked = params.seed_strategy != SeedStrategy.RANDOM_PIVOTS
+        sgroups: dict[int, list[Segment]] = {}
+        for seg in sealed_segs:
+            sgroups.setdefault(seg.cap_pad, []).append(seg)
+        for cap, group in sgroups.items():
+            if not use_stacked:
+                for seg in group:
+                    res = self._search_sealed(qd, qs, seg, k, per_seg_limit, params)
+                    if res is None:
+                        continue
+                    scores, dists, idx, _seg = res
+                    base = len(seg_list)
+                    seg_list.append(seg)
+                    slots = jnp.where(idx >= 0, jnp.int32(base), -1)
+                    entries.append((scores, dists, idx, slots))
                 continue
-            if res is not None:
-                per_segment.append(res)
+            # Group-level static buckets (one compile per group shape), but
+            # per-segment fused calls pipelined back to back WITHOUT any
+            # intermediate sync — measured faster than one vmapped program
+            # (vmap of the traversal while_loop lowers to slower batched
+            # gathers; the stacked-vmap variant remains available as
+            # _stacked_sealed_query for very high segment counts).
+            tuned = [self._auto_tune(seg, k, params) for seg in group]
+            ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
+            beam_buf = min(_bucket(max(t[1] for t in tuned), lo=8), ef_buf)
+            if params.mode == Mode.BEST_FIRST:
+                max_steps, min_steps, refine = ef_buf, 0, True
+            else:  # legacy BEAM (reference :841-903)
+                max_steps = max(params.max_iters, params.min_hops)
+                min_steps = params.min_hops
+                refine = params.refine_frontier
+            for seg, (tuned_ef, tuned_beam) in zip(group, tuned):
+                base = len(seg_list)
+                seg_list.append(seg)
+                sc, di, iv, slots = _sealed_query_slot_step(
+                    qd, seg.vectors_dev, self.caches.get_codebook(seg),
+                    seg.codes_dev, self.caches.get_adjacency(seg),
+                    seg.exists_dev, seg.alive_dev,
+                    tuned_ef, tuned_beam, base,
+                    ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+                    min_steps=min_steps, refine_frontier=refine,
+                    rr=min(per_seg_limit, ef_buf), metric=self.config.metric,
+                )
+                entries.append((sc, di, iv, slots))
 
         results: list[list[SearchResult]] = [[] for _ in range(nq)]
-        if per_segment:
+        if entries:
+            top_s, top_d, top_v, top_slot = _merge_entries(
+                tuple(e[0] for e in entries), tuple(e[1] for e in entries),
+                tuple(e[2] for e in entries), tuple(e[3] for e in entries), k=k,
+            )
+            top_s = np.asarray(top_s)
+            top_d = np.asarray(top_d)
+            vid_of = np.asarray(top_v)
+            slot_of = np.asarray(top_slot)
+
+            gid_of = np.full(slot_of.shape, -1, np.int64)
+            for si, seg in enumerate(seg_list):
+                mask = (slot_of == si) & (vid_of >= 0)
+                if mask.any():
+                    gid_of[mask] = seg.gids_np[vid_of[mask]]
+
+            valid = (slot_of >= 0) & (vid_of >= 0) & (gid_of >= 0) & np.isfinite(top_s)
+            kk = top_s.shape[1]
             for qi in range(nq):
-                pool = []
-                for scores, dists, rows in per_segment:
-                    for sc, di, (seg_id, vid) in zip(
-                        scores[qi], dists[qi], rows[qi]
-                    ):
-                        if vid < 0:
-                            continue
-                        pool.append((float(sc), float(di), seg_id, int(vid)))
-                pool.sort(key=lambda t: -t[0])
                 out = []
-                for sc, di, seg_id, vid in pool:
-                    gid = self.store.gid_for(seg_id, vid)
-                    if gid is None:
-                        continue  # deleted concurrently / no mapping
-                    seg = self.store.segments.get(seg_id)
-                    payload = seg.payloads[vid] if seg is not None else None
+                for j in range(kk):
+                    if not valid[qi, j]:
+                        continue
+                    seg = seg_list[slot_of[qi, j]]
                     out.append(
-                        SearchResult(gid=gid, score=sc, distance=di, payload=payload)
+                        SearchResult(
+                            gid=int(gid_of[qi, j]),
+                            score=float(top_s[qi, j]),
+                            distance=float(top_d[qi, j]),
+                            payload=seg.payloads[vid_of[qi, j]],
+                        )
                     )
-                    if len(out) >= k:
-                        break
                 results[qi] = out
 
         dur_ms = (time.monotonic() - t0) * 1000.0
         self._metrics.inc("vectorsearch.query.count", nq)
         self._metrics.record("vectorsearch.query.duration_ms", dur_ms)
-        self._metrics.record("vectorsearch.query.segments_searched", len(per_segment))
+        self._metrics.record(
+            "vectorsearch.query.segments_searched", len(brute_segs) + len(sealed_segs)
+        )
         self._metrics.record(
             "vectorsearch.query.results_returned",
             float(np.mean([len(r) for r in results])) if results else 0.0,
         )
         return results
 
-    # -- brute force path (reference :660-725) -------------------------------
+    # -- auto-tune (verbatim formulas, reference :772-784) --------------------
 
-    def _search_brute_force(self, qd, seg: Segment, limit: int):
-        if seg.next_row == 0:
-            return None
-        scores, dists, idx = topk_ops.brute_force_topk(
-            qd, seg.vectors_dev, seg.alive_dev, limit, self.config.metric
+    def _auto_tune(self, seg: Segment, k: int, params: SearchParams) -> tuple[int, int]:
+        """Returns (tuned_ef, tuned_beam) for a sealed segment."""
+        n_codes = seg.exists_count()
+        base_ef = max(params.ef_search, k * max(1, params.per_segment_limit_multiplier))
+        scale = int(max(1, round(math.sqrt(max(1, n_codes) / 1000.0))))
+        tuned_ef = min(params.max_explore, max(base_ef, min(n_codes, base_ef * scale)))
+        tuned_beam = max(
+            1,
+            min(n_codes, max(params.beam_width, min(64, math.ceil(math.sqrt(n_codes))))),
         )
-        idx = np.asarray(idx)
-        rows = [[(seg.seg_id, v) for v in idx[qi]] for qi in range(idx.shape[0])]
-        return np.asarray(scores), np.asarray(dists), rows
+        return tuned_ef, tuned_beam
 
-    # -- sealed path (reference :730-837) ------------------------------------
+    # -- sealed path, RANDOM_PIVOTS fallback (reference :730-837) -------------
 
     def _search_sealed(self, qd, qs, seg: Segment, k: int, limit: int,
                        params: SearchParams):
-        if seg.codes_np is None or seg.codebook_np is None:
-            # Not yet built (shouldn't happen for SEALED) — fall back to brute force.
-            return self._search_brute_force(qd, seg, limit)
-        n_codes = int(np.count_nonzero(seg.exists_np[: seg.next_row]))
+        n_codes = seg.exists_count()
         if n_codes == 0:
             return None
 
@@ -355,14 +567,16 @@ class VectorIndex:
         exists = seg.exists_dev
         alive = seg.alive_dev
 
-        # --- auto-tune (verbatim formulas, reference :772-784) ---
-        base_ef = max(params.ef_search, k * max(1, params.per_segment_limit_multiplier))
-        scale = int(max(1, round(math.sqrt(max(1, n_codes) / 1000.0))))
-        tuned_ef = min(params.max_explore, max(base_ef, min(n_codes, base_ef * scale)))
-        tuned_beam = max(
-            1,
-            min(n_codes, max(params.beam_width, min(64, math.ceil(math.sqrt(n_codes))))),
-        )
+        tuned_ef, tuned_beam = self._auto_tune(seg, k, params)
+        beam_buf = _bucket(tuned_beam, lo=8)
+        ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
+        beam_buf = min(beam_buf, ef_buf)
+        if params.mode == Mode.BEST_FIRST:
+            max_steps, min_steps, refine = ef_buf, 0, True
+        else:  # legacy BEAM (reference :841-903)
+            max_steps = max(params.max_iters, params.min_hops)
+            min_steps = params.min_hops
+            refine = params.refine_frontier
 
         lut = pq_ops.build_lut(qd, codebook)
         approx = pq_ops.adc_scan(lut, codes, exists)
@@ -372,7 +586,6 @@ class VectorIndex:
 
         # --- seeds: top-beam approx (+ deterministic diversified pivots) ---
         t_graph = time.monotonic()
-        beam_buf = _bucket(tuned_beam, lo=8)
         neg_seed_d, seed_idx = jax.lax.top_k(-approx, min(beam_buf, seg.cap_pad))
         seed_idx = seed_idx.astype(jnp.int32)
         seed_d = -neg_seed_d
@@ -395,15 +608,6 @@ class VectorIndex:
             seed_idx = jnp.concatenate([seed_idx, piv_idx], axis=1)
             seed_d = jnp.concatenate([seed_d, piv_d], axis=1)
 
-        ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
-        beam_buf = min(beam_buf, ef_buf)
-        if params.mode == Mode.BEST_FIRST:
-            max_steps, min_steps, refine = ef_buf, 0, True
-        else:  # legacy BEAM (reference :841-903)
-            max_steps = max(params.max_iters, params.min_hops)
-            min_steps = params.min_hops
-            refine = params.refine_frontier
-
         cand_idx, cand_d = traversal_ops.graph_expand(
             lut, codes, adjacency, exists, seed_idx, seed_d,
             jnp.int32(tuned_ef), jnp.int32(tuned_beam),
@@ -424,6 +628,4 @@ class VectorIndex:
         self._metrics.record(
             "vectorsearch.query.rerank_ms", (time.monotonic() - t_rr) * 1000.0
         )
-        idx = np.asarray(idx)
-        rows = [[(seg.seg_id, v) for v in idx[qi]] for qi in range(idx.shape[0])]
-        return np.asarray(scores), np.asarray(dists), rows
+        return scores, dists, idx, seg

@@ -254,6 +254,7 @@ class MaintenanceService:
                     store.gid_map[gid] = (dest_id, dvid)
                     store.gid_rev.pop((src_sid, src_vid), None)
                     store.gid_rev[(dest_id, dvid)] = gid
+                    dest.gids_np[dvid] = gid
                 dest.invalidate_device()
                 store.registry.append(dest_id)
                 for seg in sources:

@@ -67,8 +67,10 @@ class Segment:
         self.vectors_np = np.zeros((self.cap_pad, dim), np.float32)
         self.exists_np = np.zeros(self.cap_pad, bool)
         self.alive_np = np.zeros(self.cap_pad, bool)
+        self.gids_np = np.full(self.cap_pad, -1, np.int64)  # vectorized gid join
         self.payloads: list = [None] * self.cap_pad
         self.next_row = 0  # rows [0, next_row) were ever written
+        self.version = 0  # bumped on any mutation (stack-cache invalidation)
 
         # sealed artifacts (host side; None until built)
         self.codes_np: Optional[np.ndarray] = None
@@ -99,6 +101,15 @@ class Segment:
     def remaining_capacity(self) -> int:
         return self.capacity - self.next_row
 
+    def exists_count(self) -> int:
+        """Number of rows with data (tombstones included), cached by version."""
+        cached = getattr(self, "_exists_count_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        n = int(np.count_nonzero(self.exists_np[: self.next_row]))
+        self._exists_count_cache = (self.version, n)
+        return n
+
     def append_rows(self, rows: np.ndarray, payloads: list) -> list[int]:
         """Appends rows (host side); returns the assigned vector ids."""
         n = rows.shape[0]
@@ -115,6 +126,7 @@ class Segment:
             self.payloads[start + i] = p
         self.next_row += n
         self.meta.count += n
+        self.version += 1
         return list(range(start, start + n))
 
     def tombstone(self, vec_id: int) -> bool:
@@ -122,8 +134,10 @@ class Segment:
         if vec_id < 0 or vec_id >= self.next_row or not self.alive_np[vec_id]:
             return False
         self.alive_np[vec_id] = False
+        self.gids_np[vec_id] = -1
         self.meta.count -= 1
         self.meta.deleted_count += 1
+        self.version += 1
         with self._dev_lock:
             self._pending_flag_updates.append((vec_id, False))
         return True
@@ -132,12 +146,14 @@ class Segment:
         """Physically clears a row (vacuum): drops data + tombstone."""
         self.exists_np[vec_id] = False
         self.alive_np[vec_id] = False
+        self.gids_np[vec_id] = -1
         self.payloads[vec_id] = None
         self.vectors_np[vec_id] = 0.0
         if self.codes_np is not None:
             self.codes_np[vec_id] = 0
         if self.adjacency_np is not None:
             self.adjacency_np[vec_id] = -1
+        self.version += 1
 
     def attach_build_artifacts(
         self, codes: np.ndarray, codebook: np.ndarray, adjacency: np.ndarray
@@ -146,12 +162,14 @@ class Segment:
         self.codes_np = codes
         self.codebook_np = codebook
         self.adjacency_np = adjacency
+        self.version += 1
         with self._dev_lock:
             self._codes_dev = None
             self._codebook_dev = None
             self._adjacency_dev = None
 
     def invalidate_device(self) -> None:
+        self.version += 1
         with self._dev_lock:
             self._vectors_dev = None
             self._alive_dev = None
@@ -247,6 +265,7 @@ class Segment:
             "alive": self.alive_np[: self.next_row],
             "next_row": np.array([self.next_row], np.int64),
             "capacity": np.array([self.capacity], np.int64),
+            "gids": self.gids_np[: self.next_row],
         }
         if self.codes_np is not None:
             arrays["codes"] = self.codes_np
@@ -269,6 +288,8 @@ class Segment:
         seg.vectors_np[:n] = arrays["vectors"]
         seg.exists_np[:n] = arrays["exists"]
         seg.alive_np[:n] = arrays["alive"]
+        if "gids" in arrays:
+            seg.gids_np[:n] = arrays["gids"]
         if rec.get("payloads"):
             for i, p in enumerate(rec["payloads"][: seg.cap_pad]):
                 seg.payloads[i] = p

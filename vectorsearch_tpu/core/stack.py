@@ -1,0 +1,90 @@
+"""Segment stacking: batch same-shape segments into one device call.
+
+The reference fans out one async search per segment and merges on the way
+back (fdb/FdbVectorIndex.java:417-470). On TPU, per-dispatch latency makes
+that shape hostile; instead, segments with identical static shapes
+(cap_pad, dim, M, K, R) stack into leading-axis-batched arrays:
+
+  vectors  f32[S, N, D]   codes u8[S, N, M]   codebooks f32[S, M, K, sub]
+  adjacency i32[S, N, R]  exists/alive bool[S, N]
+
+so ALL sealed segments are searched by ONE vmapped XLA program and ALL
+brute-force segments by one flattened matmul — 2-3 dispatches per query batch
+regardless of segment count.
+
+Stacks are cached keyed by the (seg_id, version) tuple of their members;
+any segment mutation bumps its version and invalidates affected stacks.
+Stacked arrays are snapshots (stacking copies), so in-flight queries keep
+consistent data while segments mutate — the same snapshot-isolation story as
+the per-segment device mirrors.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vectorsearch_tpu.core.segment import Segment
+
+
+class SealedStack:
+    def __init__(self, segments: Sequence[Segment]):
+        self.segments = list(segments)
+        self.vectors = jnp.stack([s.vectors_dev for s in segments])
+        self.codes = jnp.stack([s.codes_dev for s in segments])
+        self.codebooks = jnp.stack([s.codebook_dev for s in segments])
+        self.adjacency = jnp.stack([s.adjacency_dev for s in segments])
+        self.exists = jnp.stack([s.exists_dev for s in segments])
+        self.alive = jnp.stack([s.alive_dev for s in segments])
+
+
+class BruteStack:
+    def __init__(self, segments: Sequence[Segment]):
+        self.segments = list(segments)
+        self.cap_pad = segments[0].cap_pad
+        # flattened: one pairwise matmul covers every row of every segment
+        self.vectors = jnp.concatenate([s.vectors_dev for s in segments], axis=0)
+        self.alive = jnp.concatenate([s.alive_dev for s in segments], axis=0)
+
+
+class StackCache:
+    """Caches stacks keyed by ((seg_id, version), ...)."""
+
+    def __init__(self, max_entries: int = 8):
+        self._lock = threading.Lock()
+        self._sealed: dict[tuple, SealedStack] = {}
+        self._brute: dict[tuple, BruteStack] = {}
+        self._max = max_entries
+
+    @staticmethod
+    def _key(segments: Sequence[Segment]) -> tuple:
+        return tuple((s.seg_id, s.version) for s in segments)
+
+    def sealed(self, segments: Sequence[Segment]) -> SealedStack:
+        key = ("sealed", self._key(segments))
+        with self._lock:
+            st = self._sealed.get(key)
+        if st is not None:
+            return st
+        st = SealedStack(segments)
+        with self._lock:
+            if len(self._sealed) >= self._max:
+                self._sealed.clear()  # stacks rebuild cheaply from device arrays
+            self._sealed[key] = st
+        return st
+
+    def brute(self, segments: Sequence[Segment]) -> BruteStack:
+        key = ("brute", self._key(segments))
+        with self._lock:
+            st = self._brute.get(key)
+        if st is not None:
+            return st
+        st = BruteStack(segments)
+        with self._lock:
+            if len(self._brute) >= self._max:
+                self._brute.clear()
+            self._brute[key] = st
+        return st

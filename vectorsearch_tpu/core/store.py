@@ -114,6 +114,12 @@ class VectorStore:
                         rec, device=self.config.device,
                     )
                 self.segments[sid] = seg
+            # Rebuild per-segment gid arrays from the authoritative rev map
+            # (covers checkpoints written before gids were persisted per row).
+            for (sid2, vid2), gid in self.gid_rev.items():
+                seg = self.segments.get(sid2)
+                if seg is not None and 0 <= vid2 < seg.cap_pad:
+                    seg.gids_np[vid2] = gid
             # Crash recovery: interrupted builds resume from the queue — the
             # reference's queue lives in FDB; ours is in-process, so re-enqueue
             # builds for any PENDING/WRITING segment found on open.
@@ -195,6 +201,7 @@ class VectorStore:
                     self.next_gid += 1
                     self.gid_map[gid] = (seg.seg_id, vid)
                     self.gid_rev[(seg.seg_id, vid)] = gid
+                    seg.gids_np[vid] = gid
                     gids.append(gid)
                 offset += take
                 # strict cap: rotate immediately when full (reference :494-510)

@@ -3,18 +3,30 @@
 TPU re-design of the reference's priority-queue expansion
 (fdb/FdbVectorIndex.java:911-968 BEST_FIRST, :841-903 BEAM): the per-query
 priority queue becomes a fixed-size, distance-sorted candidate pool kept as
-dense arrays; the visited set becomes a bool[Q, N] mask; each iteration
+dense arrays; each iteration
 
   1. selects the best `beam` unexpanded candidates (masked top_k),
   2. gathers their adjacency rows,
-  3. visits unseen neighbors (scatter into the visited mask, with intra-step
-     dedup via a sort),
-  4. ADC-scores them against the per-query LUT, and
+  3. ADC-scores the neighbors against the per-query LUT,
+  4. dedups them (within the step by sorting, against the pool by comparison),
   5. merges them into the pool with one top_k.
 
+**No visited bitmask.** The reference keeps a per-query visited set; a [Q, N]
+mask on TPU costs a scatter + gather per step (XLA lowers 2D-index scatters to
+near-serial updates — measured ~2 ms per step even at Q=256, N=512). Instead
+we exploit a pool invariant: the pool's contents improve monotonically, so a
+node evicted from the pool was worse than everything in it and can never
+re-enter or be re-expanded. Pool-membership dedup therefore preserves the
+search semantics exactly; a revisited-but-evicted node merely costs one
+redundant ADC lookup. Every irregular memory op is gone and the loop cost is
+independent of N.
+
+The `expanded` flags are marked with a broadcast-compare mask (never scatter)
+and travel through the merge with gathers.
+
 Everything runs under `jax.lax.while_loop` with static buffer shapes, batched
-over Q queries at once — the throughput win over the reference's one-query
-async chains.
+over Q queries at once — the throughput lever the reference's one-query async
+chains can't express.
 
 The legacy BEAM mode maps onto the same kernel: `refine_frontier=False`
 restricts expansion to candidates discovered in the previous step, and
@@ -37,10 +49,12 @@ _BIG = jnp.int32(2**30)
 def _dedup_within_step(ids: jax.Array, new: jax.Array) -> jax.Array:
     """Keeps only the first occurrence of each id among `new` entries per row.
 
-    ids i32[Q, C], new bool[Q, C] -> bool[Q, C]. Needed because two frontier
-    nodes expanded in the same step may share a neighbor; the visited-mask
-    scatter can't express first-wins within one step.
+    ids i32[Q, C], new bool[Q, C] -> bool[Q, C]. Two frontier nodes expanded in
+    the same step may share a neighbor; a sort + neighbor-compare marks unique
+    entries without any scatter (the inverse permutation is applied by a
+    second sort over the original positions).
     """
+    q, c = ids.shape
     keyed = jnp.where(new, ids, _BIG)
     order = jnp.argsort(keyed, axis=1)
     sorted_ids = jnp.take_along_axis(keyed, order, axis=1)
@@ -51,10 +65,9 @@ def _dedup_within_step(ids: jax.Array, new: jax.Array) -> jax.Array:
         ],
         axis=1,
     ) & (sorted_ids < _BIG)
-    # scatter `first` back to original column positions
-    q, c = ids.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (q, c), 0)
-    out = jnp.zeros((q, c), bool).at[rows, order].set(first)
+    # un-permute `first` back to original positions: sort (order, first) by order
+    inv = jnp.argsort(order, axis=1)
+    out = jnp.take_along_axis(first, inv, axis=1)
     return out & new
 
 
@@ -84,39 +97,42 @@ def graph_expand(
     n, r = adjacency.shape
     c = beam_buf * r  # neighbors gathered per step
 
-    # ---- init candidate pool from seeds ----
+    # ---- init candidate pool from seeds (dedup among seeds first) ----
+    seed_ok = _dedup_within_step(seed_idx, seed_idx >= 0)
+    seed_d = jnp.where(seed_ok, seed_dist, INF)
+    seed_i = jnp.where(seed_ok, seed_idx, -1)
     pool = min(s, ef_buf)
-    cand_idx = jnp.full((q, ef_buf), -1, jnp.int32).at[:, :pool].set(seed_idx[:, :pool])
-    cand_d = jnp.full((q, ef_buf), INF).at[:, :pool].set(seed_dist[:, :pool])
+    if s > ef_buf:  # keep the best seeds if oversupplied
+        neg, keep = jax.lax.top_k(-seed_d, ef_buf)
+        seed_d = -neg
+        seed_i = jnp.take_along_axis(seed_i, keep, axis=1)
+        pool = ef_buf
+    cand_idx = jnp.full((q, ef_buf), -1, jnp.int32).at[:, :pool].set(seed_i[:, :pool])
+    cand_d = jnp.full((q, ef_buf), INF).at[:, :pool].set(seed_d[:, :pool])
     cand_d = jnp.where(cand_idx >= 0, cand_d, INF)
     expanded = jnp.zeros((q, ef_buf), bool)
     fresh = cand_idx >= 0  # seeds count as freshly discovered
-    rows_q = jnp.arange(q, dtype=jnp.int32)
-
-    visited = jnp.zeros((q, n), bool)
-    seed_ok = cand_idx >= 0
-    visited = visited.at[rows_q[:, None], jnp.maximum(cand_idx, 0)].max(seed_ok)
-    explored = jnp.sum(seed_ok, axis=1).astype(jnp.int32)
+    explored = jnp.sum(cand_idx >= 0, axis=1).astype(jnp.int32)
 
     beam_iota = jax.lax.broadcasted_iota(jnp.int32, (q, beam_buf), 1)
+    ef_iota = jax.lax.broadcasted_iota(jnp.int32, (q, ef_buf), 1)
 
     def selectable(state):
-        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        cand_idx, cand_d, expanded, fresh, explored, step = state
         sel = (~expanded) & (cand_idx >= 0)
         if not refine_frontier:
             sel = sel & fresh
         return sel
 
     def cond(state):
-        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        cand_idx, cand_d, expanded, fresh, explored, step = state
         active_q = explored < ef_dyn
         has_work = jnp.any(selectable(state) & active_q[:, None])
-        forced = step < min_steps
-        anything = jnp.any(selectable(state)) & forced
-        return (step < max_steps) & (has_work | anything)
+        forced = (step < min_steps) & jnp.any(selectable(state))
+        return (step < max_steps) & (has_work | forced)
 
     def body(state):
-        cand_idx, cand_d, expanded, fresh, visited, explored, step = state
+        cand_idx, cand_d, expanded, fresh, explored, step = state
         active_q = (explored < ef_dyn) | (step < min_steps)
 
         sel = selectable(state)
@@ -124,7 +140,11 @@ def graph_expand(
         top_score, pos = jax.lax.top_k(sel_score, beam_buf)  # [Q, beam_buf]
         valid_sel = (top_score > -INF) & (beam_iota < beam_dyn) & active_q[:, None]
 
-        expanded = expanded.at[rows_q[:, None], pos].max(valid_sel)
+        # mark expanded via broadcast compare (scatter-free)
+        hit = jnp.any(
+            (pos[:, None, :] == ef_iota[:, :, None]) & valid_sel[:, None, :], axis=2
+        )
+        expanded = expanded | hit
 
         node = jnp.take_along_axis(cand_idx, pos, axis=1)  # [Q, beam_buf]
         safe_node = jnp.maximum(node, 0)
@@ -135,16 +155,27 @@ def graph_expand(
             & jnp.repeat(valid_sel, r, axis=1)
             & row_valid[safe_nbr]
         )
-        seen = visited[rows_q[:, None], safe_nbr]
-        new = nbr_ok & ~seen
-        new = _dedup_within_step(nbrs, new)
-
-        visited = visited.at[rows_q[:, None], safe_nbr].max(new)
-        explored = explored + jnp.sum(new, axis=1).astype(jnp.int32)
+        new = _dedup_within_step(nbrs, nbr_ok)
+        # dedup against the pool: a node present in the pool was already
+        # visited; one evicted from the pool was worse than the whole pool and
+        # will fall out of the merge again (see module docstring).
+        in_pool = jnp.any(
+            nbrs[:, :, None] == jnp.where(cand_idx >= 0, cand_idx, -2)[:, None, :],
+            axis=2,
+        )
+        new = new & ~in_pool
 
         new_d = adc_lookup(lut, codes[safe_nbr])  # [Q, C]
         new_d = jnp.where(new, new_d, INF)
         new_ids = jnp.where(new, nbrs, -1)
+
+        # explored counts entries that actually join the pool (would have been
+        # "chosen" by the reference): better than the current worst pool slot,
+        # or the pool still has room.
+        pool_worst = jnp.max(jnp.where(cand_idx >= 0, cand_d, -INF), axis=1)
+        has_room = jnp.any(cand_idx < 0, axis=1)
+        counts = new & (has_room[:, None] | (new_d < pool_worst[:, None]))
+        explored = explored + jnp.sum(counts, axis=1).astype(jnp.int32)
 
         all_idx = jnp.concatenate([cand_idx, new_ids], axis=1)
         all_d = jnp.concatenate([cand_d, new_d], axis=1)
@@ -158,9 +189,9 @@ def graph_expand(
         fresh = jnp.take_along_axis(all_fresh, keep, axis=1)
         cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
 
-        return cand_idx, cand_d, expanded, fresh, visited, explored, step + 1
+        return cand_idx, cand_d, expanded, fresh, explored, step + 1
 
-    state = (cand_idx, cand_d, expanded, fresh, visited, explored, jnp.int32(0))
+    state = (cand_idx, cand_d, expanded, fresh, explored, jnp.int32(0))
     cand_idx, cand_d, *_ = jax.lax.while_loop(cond, body, state)
     return cand_idx, cand_d
 
