@@ -88,7 +88,9 @@ def _sealed_query_step(
     """
     lut = pq_ops.build_lut(q, codebook)
     approx = pq_ops.adc_scan(lut, codes, exists)
-    neg_seed, seed_idx = jax.lax.top_k(-approx, beam_buf)
+    # approx_max_k: the seeds are approximate by construction; a full top_k
+    # over N columns is a per-row sort and dominates at 100k-row segments
+    neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
     seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
     cand_idx, _cand_d = traversal_ops.graph_expand(
         lut, codes, adjacency, exists, seed_idx, -neg_seed,

@@ -59,10 +59,18 @@ def _knn_block(
     col = jax.lax.broadcasted_iota(jnp.int32, (block_ids.shape[0], n), 1)
     mask = valid[None, :] & (col != block_ids[:, None])  # exclude self
     d2 = jnp.where(mask, d2, INF)
-    neg_top, idx = jax.lax.top_k(-d2, l)
+    # approx_max_k: TPU-native partial top-k (recall 0.99) — a full lax.top_k
+    # over N=100k columns is a per-row sort and dominates the build otherwise.
+    # Candidate generation tolerates 1% misses; the pruning passes follow.
+    neg_top, idx = jax.lax.approx_max_k(-d2, l, recall_target=0.99)
     top_d2 = -neg_top
     idx = jnp.where(jnp.isfinite(top_d2), idx, -1)
-    return idx.astype(jnp.int32), top_d2
+    # approx_max_k returns unsorted-by-guarantee results; sort the l winners
+    order = jnp.argsort(top_d2, axis=1)
+    return (
+        jnp.take_along_axis(idx, order, axis=1).astype(jnp.int32),
+        jnp.take_along_axis(top_d2, order, axis=1),
+    )
 
 
 def knn_candidates(
@@ -162,27 +170,35 @@ def _merge_reverse_edges_host(
     adj: np.ndarray,  # i32[N, R] forward adjacency, -1 padded
     rev_cap: int,
 ) -> np.ndarray:
-    """Host-side reverse-edge candidate collection (cheap O(N*R) bookkeeping).
+    """Host-side reverse-edge candidate collection, fully vectorized.
 
     For every forward edge i->j, proposes i as a neighbor of j (reference
-    :175-187). Returns union candidates i32[N, R + rev_cap], -1 padded,
-    forward edges first, deduplicated.
+    :175-187); each node keeps up to rev_cap reverse proposals. Returns union
+    candidates i32[N, R + rev_cap], -1 padded, deduplicated per row (sorted by
+    id — the caller re-sorts by distance before pruning).
     """
     n, r = adj.shape
-    union = np.full((n, r + rev_cap), -1, np.int32)
-    union[:, :r] = adj
-    fill = np.full(n, r, np.int32)
     src = np.repeat(np.arange(n, dtype=np.int32), r)
     dst = adj.reshape(-1)
     ok = dst >= 0
-    for s, t in zip(src[ok], dst[ok]):
-        f = fill[t]
-        if f >= r + rev_cap:
-            continue
-        row = union[t]
-        if s not in row[: f]:
-            row[f] = s
-            fill[t] = f + 1
+    src, dst = src[ok], dst[ok]
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    # rank of each edge within its destination group
+    first = np.ones(len(dst_s), bool)
+    first[1:] = dst_s[1:] != dst_s[:-1]
+    idx_first = np.flatnonzero(first)
+    group_id = np.cumsum(first) - 1
+    rank = np.arange(len(dst_s)) - idx_first[group_id]
+    keep = rank < rev_cap
+    rev = np.full((n, rev_cap), -1, np.int32)
+    rev[dst_s[keep], rank[keep]] = src_s[keep]
+
+    union = np.concatenate([adj, rev], axis=1)
+    # per-row dedup: sort ids; adjacent equals blank to -1
+    union = np.sort(union, axis=1)
+    dup = union[:, 1:] == union[:, :-1]
+    union[:, 1:][dup & (union[:, 1:] >= 0)] = -1
     return union
 
 
@@ -212,26 +228,48 @@ def build_graph(
 
     fwd = robust_prune(vectors, cand_idx, cand_d2, degree, alpha, row_block=row_block)
 
-    # Reverse-edge merge + re-prune of the union.
+    # Reverse-edge merge + re-prune of the union, blocked over rows so the
+    # [B, U, D] candidate gather stays bounded at scale.
     union = _merge_reverse_edges_host(np.asarray(fwd), rev_cap=degree)
     union_j = jnp.asarray(union)
-    safe = jnp.maximum(union_j, 0)
-    node_vecs = vectors  # [N, D]
-    cand_vecs = vectors[safe]  # [N, U, D]
+    outs = []
+    n_rows = union_j.shape[0]
+    for start in range(0, n_rows, row_block):
+        stop = min(start + row_block, n_rows)
+        outs.append(
+            _union_prune_block(
+                vectors, valid, union_j[start:stop],
+                jnp.arange(start, stop, dtype=jnp.int32), degree,
+                jnp.float32(alpha),
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("degree",))
+def _union_prune_block(
+    vectors: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N]
+    union_ids: jax.Array,  # i32[B, U] (-1 padded, id-sorted/deduped)
+    node_ids: jax.Array,  # i32[B]
+    degree: int,
+    alpha: jax.Array,
+) -> jax.Array:
+    """Distance-sorts each row's union candidates and re-prunes overflowing
+    rows; rows that fit keep every edge (reference re-prunes only on overflow,
+    :181-186)."""
+    safe = jnp.maximum(union_ids, 0)
+    cand_vecs = vectors[safe]  # [B, U, D]
+    node_vecs = vectors[jnp.maximum(node_ids, 0)]  # [B, D]
     diff = cand_vecs - node_vecs[:, None, :]
-    union_d2 = jnp.sum(diff * diff, axis=-1)
-    union_d2 = jnp.where(union_j >= 0, union_d2, INF)
-    # sort union by distance (RobustPrune expects ascending candidates)
-    order = jnp.argsort(union_d2, axis=1)
-    union_sorted = jnp.take_along_axis(union_j, order, axis=1)
-    d2_sorted = jnp.take_along_axis(union_d2, order, axis=1)
-    adj = robust_prune(vectors, union_sorted, d2_sorted, degree, alpha, row_block=row_block)
-    # Rows whose union fits within the degree budget keep all edges unpruned
-    # (the reference only re-prunes on overflow, :181-186).
-    union_count = jnp.sum((union_sorted >= 0) & jnp.isfinite(d2_sorted), axis=1)
-    keep_all = union_count <= degree
-    unpruned = union_sorted[:, :degree]
-    adj = jnp.where(keep_all[:, None], unpruned, adj)
-    # Invalid rows get no edges.
-    adj = jnp.where(valid[:, None], adj, -1)
-    return adj
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(union_ids >= 0, d2, INF)
+    order = jnp.argsort(d2, axis=1)
+    ids_sorted = jnp.take_along_axis(union_ids, order, axis=1)
+    d2_sorted = jnp.take_along_axis(d2, order, axis=1)
+    pruned = robust_prune_block(vectors, ids_sorted, d2_sorted, degree, alpha)
+    count = jnp.sum((ids_sorted >= 0) & jnp.isfinite(d2_sorted), axis=1)
+    keep_all = count <= degree
+    adj = jnp.where(keep_all[:, None], ids_sorted[:, :degree], pruned)
+    node_ok = valid[jnp.maximum(node_ids, 0)]
+    return jnp.where(node_ok[:, None], adj, -1)

@@ -80,13 +80,20 @@ def pq_train(
     def one_iter(i, cent):
         assigns = jax.vmap(_assign, in_axes=(0, 0, None))(subs, cent, valid)  # [M, N]
 
-        def update_one(sub_x, a):
-            onehot_rows = jnp.where(a[:, None] >= 0, a[:, None], k)  # pad bucket k
-            sums = jnp.zeros((k + 1, sub), jnp.float32).at[onehot_rows[:, 0]].add(sub_x)
-            counts = jnp.zeros((k + 1,), jnp.float32).at[onehot_rows[:, 0]].add(1.0)
-            return sums[:k], counts[:k]
+        def update_one(args):
+            sub_x, a = args
+            # Cluster sums/counts as a one-hot MATMUL instead of scatter-add:
+            # TPU scatters serialize, but [K, N] x [N, sub] rides the MXU.
+            # Sequential over subspaces (lax.map) to bound the one-hot
+            # materialization to K*N floats at a time.
+            onehot = (
+                a[None, :] == jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+            ).astype(jnp.float32)  # [K, N]; invalid rows (-1) match nothing
+            sums = jnp.dot(onehot, sub_x, preferred_element_type=jnp.float32)
+            counts = jnp.sum(onehot, axis=1)
+            return sums, counts
 
-        sums, counts = jax.vmap(update_one)(subs, assigns)  # [M, K, sub], [M, K]
+        sums, counts = jax.lax.map(update_one, (subs, assigns))  # [M, K, sub], [M, K]
 
         # Re-seed empty clusters to random valid data points (deterministic per iter).
         reseed_rows = random_valid_rows(jax.random.fold_in(key, i + 1))  # [K]
@@ -156,19 +163,34 @@ def adc_scan(
     lut: jax.Array,  # f32[Q, M, K]
     codes: jax.Array,  # u8[N, M]
     valid: jax.Array,  # bool[N]
-    chunk: int = 32768,
+    chunk: int = 8192,
 ) -> jax.Array:
     """Full ADC scan over all codes: -> approx dists f32[Q, N]; invalid rows = +inf.
 
-    The scan is chunked over N so the gathered [Q, M, chunk] intermediate stays
-    small; each chunk is a take_along_axis gather + sum over subspaces (VPU).
-    A Pallas kernel (ops/pallas/adc.py) replaces this on TPU for the hot path.
+    MXU formulation: approx[q, n] = sum_m lut[q, m, codes[n, m]] is exactly
+    lut_flat[Q, M*K] @ onehot_flat[M*K, N] — TPU gathers crawl, matmuls fly.
+    The one-hot expansion is built per chunk (bounded transient), in bf16 (the
+    values are exactly 0/1) against a bf16 LUT with f32 accumulation; ADC
+    distances only steer the traversal and seeds, exact re-rank follows, so
+    ~0.4% relative LUT rounding is immaterial. Total cost is 2*Q*N*M*K flops
+    of pure matmul — HBM-bandwidth-bound on the codes stream.
     """
     qn, m, k = lut.shape
     n = codes.shape[0]
+    # LUT stays f32 (lowered as bf16x3 passes — near-f32 accuracy at matmul
+    # speed); the one-hot operand is exactly representable in bf16.
+    lut_flat = lut.reshape(qn, m * k)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+
+    def chunk_out(codes_chunk):  # [T, M] -> [Q, T]
+        onehot = (codes_chunk.astype(jnp.int32)[:, :, None] == iota_k).astype(
+            jnp.bfloat16
+        )  # [T, M, K]
+        oh = onehot.reshape(codes_chunk.shape[0], m * k)
+        return jnp.dot(lut_flat, oh.T, preferred_element_type=jnp.float32)
+
     if n <= chunk:
-        idx = jnp.broadcast_to(codes.astype(jnp.int32)[None, :, :], (qn, n, m))
-        out = adc_lookup(lut, idx)
+        out = chunk_out(codes)
         return jnp.where(valid[None, :], out, jnp.inf)
 
     pad_n = (-n) % chunk
@@ -177,8 +199,7 @@ def adc_scan(
     codes_c = codes_p.reshape(n_chunks, chunk, m)
 
     def body(carry, codes_chunk):
-        idx = jnp.broadcast_to(codes_chunk.astype(jnp.int32)[None, :, :], (qn, chunk, m))
-        return carry, adc_lookup(lut, idx)
+        return carry, chunk_out(codes_chunk)
 
     _, outs = jax.lax.scan(body, None, codes_c)  # [n_chunks, Q, chunk]
     out = outs.transpose(1, 0, 2).reshape(qn, n_chunks * chunk)[:, :n]

@@ -159,23 +159,28 @@ def graph_expand(
         # dedup against the pool: a node present in the pool was already
         # visited; one evicted from the pool was worse than the whole pool and
         # will fall out of the merge again (see module docstring).
-        in_pool = jnp.any(
-            nbrs[:, :, None] == jnp.where(cand_idx >= 0, cand_idx, -2)[:, None, :],
-            axis=2,
-        )
+        pool_ids = jnp.where(cand_idx >= 0, cand_idx, -2)
+        if ef_buf * c <= (1 << 22):
+            # small pools: one broadcast compare
+            in_pool = jnp.any(nbrs[:, :, None] == pool_ids[:, None, :], axis=2)
+        else:
+            # large pools: sort pool ids once, then batched binary search —
+            # O(C log EF) instead of O(C * EF)
+            sorted_pool = jnp.sort(pool_ids, axis=1)
+            pos = jax.vmap(jnp.searchsorted)(sorted_pool, nbrs)
+            pos = jnp.minimum(pos, ef_buf - 1)
+            in_pool = jnp.take_along_axis(sorted_pool, pos, axis=1) == nbrs
         new = new & ~in_pool
 
         new_d = adc_lookup(lut, codes[safe_nbr])  # [Q, C]
         new_d = jnp.where(new, new_d, INF)
         new_ids = jnp.where(new, nbrs, -1)
 
-        # explored counts entries that actually join the pool (would have been
-        # "chosen" by the reference): better than the current worst pool slot,
-        # or the pool still has room.
-        pool_worst = jnp.max(jnp.where(cand_idx >= 0, cand_d, -INF), axis=1)
-        has_room = jnp.any(cand_idx < 0, axis=1)
-        counts = new & (has_room[:, None] | (new_d < pool_worst[:, None]))
-        explored = explored + jnp.sum(counts, axis=1).astype(jnp.int32)
+        # explored counts every newly visited node, exactly like the
+        # reference's `chosen` list (:948-963) — the within-step and pool
+        # dedups make `new` first-visits (evicted-node revisits, the only
+        # over-count, are rare and only shorten exploration slightly).
+        explored = explored + jnp.sum(new, axis=1).astype(jnp.int32)
 
         all_idx = jnp.concatenate([cand_idx, new_ids], axis=1)
         all_d = jnp.concatenate([cand_d, new_d], axis=1)
