@@ -1,0 +1,55 @@
+"""Round-robin segment placement across the 8-device virtual mesh: segments
+live on different devices, queries dispatch per device, results merge on host."""
+
+import jax
+import numpy as np
+import pytest
+
+from vectorsearch_tpu.config import VectorIndexConfig
+from vectorsearch_tpu.core.index import VectorIndex
+from vectorsearch_tpu.types import SegmentState
+
+from tests.test_index_e2e import gaussian, run_builds
+
+
+def test_round_robin_placement_and_query(storage, rng):
+    assert len(jax.devices()) >= 4
+    idx = VectorIndex.create_or_open(
+        VectorIndexConfig(
+            storage=storage, name="rr", dimension=8, max_segment_size=50,
+            pq_m=4, pq_k=16, graph_degree=16, graph_build_breadth=64,
+            device_placement="round_robin",
+        )
+    )
+    x = gaussian(rng, 220)  # 4 sealed (50 each) + 1 active (20)
+    gids = idx.add_all(x)
+    run_builds(idx)
+
+    devices = set()
+    with idx.store.lock:
+        for seg in idx.store.segments.values():
+            devices.add(seg.device)
+            if seg.state == SegmentState.SEALED:
+                assert seg.vectors_dev.devices() == {seg.device}
+    assert len(devices) >= 4  # spread across the mesh
+
+    # queries touch every device, results merge correctly
+    hits = 0
+    res = idx.query_batch(x[:100], 10)
+    for i, r in enumerate(res):
+        if gids[i] in [s.gid for s in r]:
+            hits += 1
+    assert hits / 100 >= 0.9
+
+    # deletes + resolve still work across devices
+    idx.delete(gids[60])
+    assert gids[60] not in [r.gid for r in idx.query(x[60], 50)]
+    idx.close()
+
+
+def test_round_robin_invalid_value(storage):
+    with pytest.raises(ValueError, match="devicePlacement"):
+        VectorIndexConfig(
+            storage=storage, name="bad", dimension=8, pq_m=4, pq_k=16,
+            device_placement="everywhere",
+        )

@@ -211,6 +211,9 @@ class VectorIndexConfig:
     pq_train_seed: int = 42  # reference hardcodes 42 (tasks/SegmentBuildService.java:180)
     query_batch_pad: int = 8  # queries are padded to multiples of this for jit reuse
     device: Any = None  # jax.Device to place segment tensors on (None = default)
+    device_placement: str = "default"  # "default" | "round_robin": spread
+    #   segments across jax.devices() — the multi-chip scale-out axis (segments
+    #   are the distribution unit, like FDB ranges in the reference)
     mesh: Any = None  # optional jax.sharding.Mesh for multi-chip segment sharding
 
     def __post_init__(self):
@@ -243,6 +246,8 @@ class VectorIndexConfig:
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
         if self.pq_train_iters <= 0:
             raise ValueError("pqTrainIters must be positive")
+        if self.device_placement not in ("default", "round_robin"):
+            raise ValueError("devicePlacement must be 'default' or 'round_robin'")
 
     def _build_effective_worker(self) -> WorkerConfig:
         if self.worker_config is not None:

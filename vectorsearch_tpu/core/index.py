@@ -185,6 +185,26 @@ def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg)
     return scores, dists, vid, slot
 
 
+def _merge_entries_host(entries, k):
+    """numpy merge for entries produced on different devices
+    (round_robin placement): per-entry arrays are tiny [Q, W]."""
+    scores = np.concatenate([np.asarray(e[0]) for e in entries], axis=1)
+    dists = np.concatenate([np.asarray(e[1]) for e in entries], axis=1)
+    vids = np.concatenate([np.asarray(e[2]) for e in entries], axis=1)
+    slots = np.concatenate([np.asarray(e[3]) for e in entries], axis=1)
+    kk = min(k, scores.shape[1])
+    pos = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    top_s = np.take_along_axis(scores, pos, axis=1)
+    order = np.argsort(-top_s, axis=1)
+    pos = np.take_along_axis(pos, order, axis=1)
+    return (
+        np.take_along_axis(scores, pos, axis=1),
+        np.take_along_axis(dists, pos, axis=1),
+        np.take_along_axis(vids, pos, axis=1),
+        np.take_along_axis(slots, pos, axis=1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _merge_entries(scores_t, dists_t, vids_t, slots_t, k):
     """Cross-segment merge of all result groups in one program
@@ -432,10 +452,13 @@ class VectorIndex:
         entries: list[tuple] = []  # (scores, dists, vids, slots) device arrays
 
         # --- brute-force segments: one flattened matmul per shape group ---
-        groups: dict[int, list[Segment]] = {}
+        # (groups also split by device so round_robin placement dispatches
+        # each segment's search on the chip that holds it)
+        multi_device = self.config.device_placement == "round_robin"
+        groups: dict[tuple, list[Segment]] = {}
         for seg in brute_segs:
-            groups.setdefault(seg.cap_pad, []).append(seg)
-        for cap, group in groups.items():
+            groups.setdefault((seg.cap_pad, id(seg.device)), []).append(seg)
+        for (cap, _dev), group in groups.items():
             stack = self._stacks.brute(group)
             base = len(seg_list)
             seg_list.extend(group)
@@ -449,10 +472,10 @@ class VectorIndex:
 
         # --- sealed segments: one vmapped fused query per shape group ---
         use_stacked = params.seed_strategy != SeedStrategy.RANDOM_PIVOTS
-        sgroups: dict[int, list[Segment]] = {}
+        sgroups: dict[tuple, list[Segment]] = {}
         for seg in sealed_segs:
-            sgroups.setdefault(seg.cap_pad, []).append(seg)
-        for cap, group in sgroups.items():
+            sgroups.setdefault((seg.cap_pad, id(seg.device)), []).append(seg)
+        for (cap, _dev), group in sgroups.items():
             if not use_stacked:
                 for seg in group:
                     res = self._search_sealed(qd, qs, seg, k, per_seg_limit, params)
@@ -495,10 +518,16 @@ class VectorIndex:
 
         results: list[list[SearchResult]] = [[] for _ in range(nq)]
         if entries:
-            top_s, top_d, top_v, top_slot = _merge_entries(
-                tuple(e[0] for e in entries), tuple(e[1] for e in entries),
-                tuple(e[2] for e in entries), tuple(e[3] for e in entries), k=k,
-            )
+            if multi_device and len(entries) > 1:
+                # results live on different chips: merge the tiny per-entry
+                # [Q, W] arrays on host (they transfer in parallel)
+                top_s, top_d, top_v, top_slot = _merge_entries_host(entries, k)
+            else:
+                top_s, top_d, top_v, top_slot = _merge_entries(
+                    tuple(e[0] for e in entries), tuple(e[1] for e in entries),
+                    tuple(e[2] for e in entries), tuple(e[3] for e in entries),
+                    k=k,
+                )
             top_s = np.asarray(top_s)
             top_d = np.asarray(top_d)
             vid_of = np.asarray(top_v)

@@ -227,8 +227,8 @@ class MaintenanceService:
                     for vid in range(seg.next_row):
                         if not seg.alive_np[vid]:
                             continue
-                        gid = store.gid_rev.get((seg.seg_id, vid))
-                        if gid is None:
+                        gid = int(seg.gids_np[vid])
+                        if gid < 0:
                             continue
                         dvid = dest.append_rows(
                             seg.vectors_np[vid : vid + 1], [seg.payloads[vid]]
@@ -242,18 +242,18 @@ class MaintenanceService:
             # 4) atomic swap: register dest, drop sources, remap gids; re-apply
             #    deletes that arrived on sources during the build (:391-414)
             with store.lock:
+                from vectorsearch_tpu.native import pack_loc as _pack
+
                 for gid, src_sid, src_vid, dvid in copy_plan:
-                    loc = store.gid_map.get(gid)
-                    if loc != (src_sid, src_vid):
+                    if store.gid_map.get(gid) != _pack(src_sid, src_vid):
                         # deleted (or remapped) while we built: tombstone dest row
                         if dest.alive_np[dvid]:
                             dest.alive_np[dvid] = False
                             dest.meta.count -= 1
                             dest.meta.deleted_count += 1
+                            dest.gids_np[dvid] = -1
                         continue
-                    store.gid_map[gid] = (dest_id, dvid)
-                    store.gid_rev.pop((src_sid, src_vid), None)
-                    store.gid_rev[(dest_id, dvid)] = gid
+                    store.gid_map.put(gid, _pack(dest_id, dvid))
                     dest.gids_np[dvid] = gid
                 dest.invalidate_device()
                 store.registry.append(dest_id)

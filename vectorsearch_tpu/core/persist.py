@@ -16,7 +16,7 @@ The storage schema mirrors the reference's directory layout
 (fdb/FdbDirectories.java:291-308):
   <index>/meta            -> IndexMeta json
   <index>/state           -> {current_segment, max_segment_id, next_gid,
-                              registry: [segIds], segment_metas, gid_map, gid_rev}
+                              registry: [segIds], segment_metas, gid_entries}
   <index>/segments/<id>   -> arrays npz (vectors, alive, exists, codes,
                               codebook, adjacency) + payloads
 """

@@ -28,6 +28,7 @@ import numpy as np
 
 from vectorsearch_tpu.config import VectorIndexConfig
 from vectorsearch_tpu.core.segment import Segment
+from vectorsearch_tpu.native import GidMap, pack_loc, unpack_loc
 from vectorsearch_tpu.core.tasks import BuildTask
 from vectorsearch_tpu.types import IndexMeta, SegmentMeta, SegmentState
 
@@ -47,8 +48,10 @@ class VectorStore:
         self.current_segment: int = 0
         self.max_segment_id: int = 0
         self.next_gid: int = 0
-        self.gid_map: Dict[int, tuple[int, int]] = {}  # gid -> (segId, vecId)
-        self.gid_rev: Dict[tuple[int, int], int] = {}  # (segId, vecId) -> gid
+        # gid -> packed (segId << 32 | vecId); native C++ open-addressing map
+        # (vectorsearch_tpu/native.py). The reverse direction lives in each
+        # segment's gids_np array — no second map needed.
+        self.gid_map = GidMap(1024)
 
     # ------------------------------------------------------------------ open
 
@@ -71,6 +74,14 @@ class VectorStore:
             self.max_segment_id = 0
             self.checkpoint_state()
 
+    def _segment_device(self, seg_id: int):
+        if self.config.device_placement == "round_robin":
+            import jax
+
+            devs = jax.devices()
+            return devs[seg_id % len(devs)]
+        return self.config.device
+
     def _new_segment(self, seg_id: int, state: SegmentState,
                      capacity: int | None = None) -> Segment:
         meta = SegmentMeta(
@@ -80,7 +91,7 @@ class VectorStore:
         )
         return Segment(
             meta, capacity or self.config.max_segment_size, self.config.dimension,
-            device=self.config.device,
+            device=self._segment_device(seg_id),
         )
 
     def _load_state(self) -> None:
@@ -98,8 +109,9 @@ class VectorStore:
             self.max_segment_id = state["max_segment_id"]
             self.next_gid = state["next_gid"]
             self.registry = list(state["registry"])
-            self.gid_map = {int(k): tuple(v) for k, v in state["gid_map"].items()}
-            self.gid_rev = {tuple(k): int(v) for k, v in state["gid_rev"]}
+            self.gid_map = GidMap(max(1024, self.next_gid))
+            gk, gv = state["gid_entries"]
+            self.gid_map.put_batch(np.asarray(gk, np.int64), np.asarray(gv, np.int64))
             self.segments = {}
             for sid, meta_json in state["segment_metas"].items():
                 sid = int(sid)
@@ -111,15 +123,9 @@ class VectorStore:
                 else:
                     seg = Segment.from_arrays(
                         meta, self.config.max_segment_size, self.config.dimension,
-                        rec, device=self.config.device,
+                        rec, device=self._segment_device(sid),
                     )
                 self.segments[sid] = seg
-            # Rebuild per-segment gid arrays from the authoritative rev map
-            # (covers checkpoints written before gids were persisted per row).
-            for (sid2, vid2), gid in self.gid_rev.items():
-                seg = self.segments.get(sid2)
-                if seg is not None and 0 <= vid2 < seg.cap_pad:
-                    seg.gids_np[vid2] = gid
             # Crash recovery: interrupted builds resume from the queue — the
             # reference's queue lives in FDB; ours is in-process, so re-enqueue
             # builds for any PENDING/WRITING segment found on open.
@@ -140,8 +146,7 @@ class VectorStore:
             "segment_metas": {
                 sid: seg.meta.to_json() for sid, seg in self.segments.items()
             },
-            "gid_map": {k: list(v) for k, v in self.gid_map.items()},
-            "gid_rev": [[list(k), v] for k, v in self.gid_rev.items()],
+            "gid_entries": self.gid_map.items_arrays(),
         }
         self.storage.write_state(self.name, state)
 
@@ -196,13 +201,14 @@ class VectorStore:
                     embeddings[offset : offset + take],
                     plist[offset : offset + take],
                 )
-                for vid in vec_ids:
-                    gid = self.next_gid
-                    self.next_gid += 1
-                    self.gid_map[gid] = (seg.seg_id, vid)
-                    self.gid_rev[(seg.seg_id, vid)] = gid
-                    seg.gids_np[vid] = gid
-                    gids.append(gid)
+                new_gids = np.arange(self.next_gid, self.next_gid + take, dtype=np.int64)
+                self.next_gid += take
+                vid_arr = np.asarray(vec_ids, np.int64)
+                self.gid_map.put_batch(
+                    new_gids, (np.int64(seg.seg_id) << 32) | vid_arr
+                )
+                seg.gids_np[vid_arr] = new_gids
+                gids.extend(int(g) for g in new_gids)
                 offset += take
                 # strict cap: rotate immediately when full (reference :494-510)
                 if seg.remaining_capacity() == 0:
@@ -241,18 +247,18 @@ class VectorStore:
         with self.lock:
             by_seg: Dict[int, list[tuple[int, int]]] = {}
             for gid in gids:
-                loc = self.gid_map.get(int(gid))
-                if loc is None:
+                packed = self.gid_map.get(int(gid))
+                if packed < 0:
                     continue
-                by_seg.setdefault(loc[0], []).append((int(gid), loc[1]))
+                seg_id, vid = unpack_loc(packed)
+                by_seg.setdefault(seg_id, []).append((int(gid), vid))
             for seg_id, pairs in by_seg.items():
                 seg = self.segments.get(seg_id)
                 if seg is None:
                     continue
                 for gid, vid in pairs:
                     if seg.tombstone(vid):
-                        self.gid_map.pop(gid, None)
-                        self.gid_rev.pop((seg_id, vid), None)
+                        self.gid_map.remove(gid)
                 affected.append(seg_id)
             if affected:
                 self.checkpoint_state()
@@ -267,8 +273,12 @@ class VectorStore:
 
     def resolve_gid(self, gid: int) -> tuple[int, int]:
         with self.lock:
-            return self.gid_map.get(int(gid), (-1, -1))
+            return unpack_loc(self.gid_map.get(int(gid)))
 
     def gid_for(self, seg_id: int, vec_id: int) -> Optional[int]:
         with self.lock:
-            return self.gid_rev.get((seg_id, vec_id))
+            seg = self.segments.get(seg_id)
+            if seg is None or not (0 <= vec_id < seg.cap_pad):
+                return None
+            g = int(seg.gids_np[vec_id])
+            return g if g >= 0 else None
