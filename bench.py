@@ -64,7 +64,10 @@ def bench_sift100k():
     centers = rng.normal(size=(512, d)).astype(np.float32) * 4
     x = centers[rng.integers(0, 512, n)] + rng.normal(size=(n, d)).astype(np.float32)
 
-    t_build0 = time.time()
+    idx, gids = build_index(x, d, seg_size=n, pq_m=16, pq_k=256, degree=32,
+                            breadth=64)  # first build compiles the kernels
+    idx.close()
+    t_build0 = time.time()  # warm build: what production sealing costs
     idx, gids = build_index(x, d, seg_size=n, pq_m=16, pq_k=256, degree=32,
                             breadth=64)
     build_s = time.time() - t_build0

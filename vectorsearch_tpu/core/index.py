@@ -87,7 +87,7 @@ def _sealed_query_step(
     (the composition of fdb/FdbVectorIndex.java:730-837 as a single kernel).
     """
     lut = pq_ops.build_lut(q, codebook)
-    approx = pq_ops.adc_scan(lut, codes, exists)
+    approx = pq_ops.adc_scan_auto(lut, codes, exists)
     # approx_max_k: the seeds are approximate by construction; a full top_k
     # over N columns is a per-row sort and dominates at 100k-row segments
     neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
@@ -610,7 +610,7 @@ class VectorIndex:
             refine = params.refine_frontier
 
         lut = pq_ops.build_lut(qd, codebook)
-        approx = pq_ops.adc_scan(lut, codes, exists)
+        approx = pq_ops.adc_scan_auto(lut, codes, exists)
         self._metrics.record(
             "vectorsearch.query.pq_scan_ms", (time.monotonic() - t_pq) * 1000.0
         )

@@ -1,0 +1,126 @@
+"""Pallas ADC-scan kernel: LUT x one-hot(codes) matmul with the one-hot built
+in VMEM.
+
+The XLA formulation (ops/pq.py adc_scan) materializes the one-hot expansion
+of the PQ codes in HBM — ~2 * M*K bytes of HBM traffic per vector per scan
+(16 KB/vector at M=16, K=256) against 16 B/vector of actual payload. This
+kernel streams only the codes: each grid step loads a [TILE_N, M] u8 tile
+into VMEM, expands it to a [TILE_N, M*K] bf16 one-hot *in VMEM*, and runs the
+[Q, M*K] x [M*K, TILE_N] matmul on the MXU. HBM traffic drops to
+codes-in + results-out, putting the scan at memory speed-of-light.
+
+Falls back to the XLA path automatically off-TPU (Pallas TPU kernels don't
+run on the CPU backend without interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_N = 512
+
+
+def _adc_kernel(hi_ref, lo_ref, codes_ref, out_ref):
+    """One grid step: out[:, tile] = (hi + lo) @ onehot(codes[tile]).T.
+
+    hi_ref/lo_ref: bf16[Q, M*K] — two-pass bf16 split of the f32 LUT,
+                   precomputed by the wrapper (VMEM, ~1 MB each at Q=128)
+    codes_ref:     u8[TILE_N, M] (VMEM)
+    out_ref:       f32[Q, TILE_N]
+    """
+    tile_n, m = codes_ref.shape
+    mk = hi_ref.shape[1]
+    k = mk // m
+    codes = codes_ref[:].astype(jnp.int32)  # [T, M]
+    # Flattened one-hot built directly in 2D (Mosaic can't shape-cast
+    # [T, M, K] -> [T, M*K] when K is narrower than a lane). pltpu.repeat
+    # TILES along the lane axis (codes_rep[t, j] = codes[t, j % M]), so the
+    # flattened layout is k-major: column j = k_idx*M + m_idx, and the caller
+    # flattens the LUT as lut.transpose(0, 2, 1) to match:
+    #   onehot[t, j] = (codes[t, j % M] == j // M)
+    codes_rep = pltpu.repeat(codes, k, axis=1)  # [T, M*K] tiled
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, mk), 1)
+    k_idx = jax.lax.div(col, m)
+    onehot = (codes_rep == k_idx).astype(jnp.bfloat16)
+    # two matmul passes (hi + lo) -> near-f32 accuracy; one-hot is exact bf16
+    dn = (((1,), (1,)), ((), ()))
+    out_ref[:] = jax.lax.dot_general(
+        hi_ref[:], onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        lo_ref[:], onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+
+
+def _auto_tile(qn: int, mk: int, requested: int | None) -> int:
+    """Largest tile that fits the ~16MB VMEM scope: resident hi/lo LUTs
+    (2*Q*MK bf16) + double-buffered onehot/out tiles."""
+    budget = 12 * 1024 * 1024
+    fixed = 2 * qn * mk * 2  # hi + lo
+    for t in (2048, 1024, 512, 256, 128):
+        if requested is not None and t > requested:
+            continue
+        need = fixed + 2 * (t * mk * 2 + qn * t * 4)
+        if need <= budget:
+            return t
+    return 128
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def adc_scan_pallas(
+    lut: jax.Array,  # f32[Q, M, K]
+    codes: jax.Array,  # u8[N, M] (N must be a multiple of tile_n; pad first)
+    valid: jax.Array,  # bool[N]
+    tile_n: int | None = None,
+) -> jax.Array:
+    """Full ADC scan -> approx dists f32[Q, N]; invalid rows = +inf."""
+    qn, m, k = lut.shape
+    n = codes.shape[0]
+    tile_n = _auto_tile(qn, m * k, tile_n)
+    pad_n = (-n) % tile_n
+    if pad_n:
+        codes = jnp.pad(codes, ((0, pad_n), (0, 0)))
+    n_pad = codes.shape[0]
+    # k-major flattening to match the kernel's tiled one-hot layout
+    lut_flat = lut.transpose(0, 2, 1).reshape(qn, m * k)
+    # hi/lo split via bit masking: a plain bf16 round-trip gets elided under
+    # --xla_allow_excess_precision (lo would fold to zero). Truncating the
+    # low 16 mantissa bits yields an exactly-bf16-representable hi.
+    bits = jax.lax.bitcast_convert_type(lut_flat, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (lut_flat - hi_f32).astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        _adc_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((qn, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (qn, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((qn, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_pad * m * k,
+            bytes_accessed=n_pad * m + qn * m * k * 4 + qn * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(hi, lo, codes)
+    out = out[:, :n]
+    return jnp.where(valid[None, :], out, jnp.inf)
+
+
+def is_tpu_backend() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

@@ -206,6 +206,19 @@ def adc_scan(
     return jnp.where(valid[None, :], out, jnp.inf)
 
 
+def adc_scan_auto(lut: jax.Array, codes: jax.Array, valid: jax.Array) -> jax.Array:
+    """Backend-dispatching ADC scan: the Pallas kernel on TPU (builds the
+    one-hot tile in VMEM — ~4x faster than the XLA lowering, which
+    materializes it in HBM), the XLA matmul path elsewhere."""
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        from vectorsearch_tpu.ops.pallas.adc import adc_scan_pallas
+
+        return adc_scan_pallas(lut, codes, valid)
+    return adc_scan(lut, codes, valid)
+
+
 def zero_codebook(m: int, k: int, sub_dim: int) -> jax.Array:
     """Zero-codebook fallback for empty-segment builds
     (reference: tasks/SegmentBuildService.java:143-157)."""

@@ -155,6 +155,9 @@ def graph_expand(
             & jnp.repeat(valid_sel, r, axis=1)
             & row_valid[safe_nbr]
         )
+        # exact within-step dedup: skipping it (and deduping post-merge)
+        # was measured 10% faster but overcounts `explored` on duplicate
+        # neighbors, truncating exploration — recall@10 dropped .99 -> .91
         new = _dedup_within_step(nbrs, nbr_ok)
         # dedup against the pool: a node present in the pool was already
         # visited; one evicted from the pool was worse than the whole pool and
