@@ -1,0 +1,76 @@
+"""Micro-benchmarks — the analogue of the reference's JMH suite
+(src/jmh/.../DistanceAndPqBenchmark.java:21-134): distance kernels at
+dim 128/768, PQ encode (M=16, K=256, d=128), and ADC LUT distance.
+
+Run: python benchmarks/micro.py  (prints one JSON line per benchmark)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, reps=50):
+    import jax
+
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vectorsearch_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from vectorsearch_tpu.ops import distance as d
+    from vectorsearch_tpu.ops import pq
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    # batched distance kernels (the reference benches single pairs; the TPU
+    # unit of work is a [Q, N] block — report ns per pair)
+    for dim in (128, 768):
+        q = jnp.asarray(rng.normal(size=(128, dim)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(8192, dim)).astype(np.float32))
+        pairs = 128 * 8192
+        sec = timed(jax.jit(lambda q=q, x=x: d.pairwise_l2_squared(q, x)))
+        results.append({"metric": f"l2sq_dim{dim}", "value": round(sec / pairs * 1e9, 3),
+                        "unit": "ns/pair"})
+        sec = timed(jax.jit(lambda q=q, x=x: d.pairwise_cosine(q, x)))
+        results.append({"metric": f"cosine_dim{dim}", "value": round(sec / pairs * 1e9, 3),
+                        "unit": "ns/pair"})
+
+    # PQ encode, M=16 K=256 d=128 (reference :107-110)
+    x = jnp.asarray(rng.normal(size=(100_352, 128)).astype(np.float32))
+    valid = jnp.ones(100_352, bool)
+    cb = pq.pq_train(x, valid, m=16, k=256, iters=3, key=jax.random.PRNGKey(0))
+    sec = timed(lambda: pq.pq_encode(x, cb, valid), reps=10)
+    results.append({"metric": "pq_encode_m16_k256_d128", "value": round(sec / 100_352 * 1e9, 2),
+                    "unit": "ns/vector"})
+
+    # ADC scan (LUT distance, reference :116-123)
+    codes = pq.pq_encode(x, cb, valid)
+    q = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+    lut = pq.build_lut(q, cb)
+    sec = timed(lambda: pq.adc_scan_auto(lut, codes, valid), reps=10)
+    results.append({"metric": "adc_scan_q128_n100k_m16", "value": round(sec / (128 * 100_352) * 1e9, 3),
+                    "unit": "ns/distance"})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

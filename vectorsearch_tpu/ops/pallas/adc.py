@@ -59,12 +59,13 @@ def _adc_kernel(hi_ref, lo_ref, codes_ref, out_ref):
 def _auto_tile(qn: int, mk: int, requested: int | None) -> int:
     """Largest tile that fits the ~16MB VMEM scope: resident hi/lo LUTs
     (2*Q*MK bf16) + double-buffered onehot/out tiles."""
-    budget = 12 * 1024 * 1024
+    budget = 10 * 1024 * 1024
     fixed = 2 * qn * mk * 2  # hi + lo
     for t in (2048, 1024, 512, 256, 128):
         if requested is not None and t > requested:
             continue
-        need = fixed + 2 * (t * mk * 2 + qn * t * 4)
+        # onehot bf16 + codes_rep/col int32 temps + out tile, double-buffered
+        need = fixed + 2 * (t * mk * 2 + 2 * t * mk * 4 + qn * t * 4)
         if need <= budget:
             return t
     return 128

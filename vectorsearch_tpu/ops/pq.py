@@ -212,7 +212,12 @@ def adc_scan_auto(lut: jax.Array, codes: jax.Array, valid: jax.Array) -> jax.Arr
     materializes it in HBM), the XLA matmul path elsewhere."""
     import jax as _jax
 
-    if _jax.default_backend() != "cpu":
+    m, k = lut.shape[1], lut.shape[2]
+    # The kernel's lane-tiled one-hot expansion needs M to fill sublanes and
+    # M*K to span lanes; small-M configs blow up VMEM under Mosaic padding
+    # (pltpu.repeat repeats the padded tile). Production PQ (M>=8, M*K>=1024)
+    # takes the kernel; small configs keep the XLA matmul path.
+    if _jax.default_backend() != "cpu" and m >= 8 and m * k >= 1024:
         from vectorsearch_tpu.ops.pallas.adc import adc_scan_pallas
 
         return adc_scan_pallas(lut, codes, valid)
