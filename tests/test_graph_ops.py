@@ -118,10 +118,11 @@ def test_vamana_recall_gate(rng):
     for t in range(20):
         q = rng.normal(size=(1, d)).astype(np.float32)
         lut = pq.build_lut(jnp.asarray(q), cb)
+        approx = pq.adc_scan(lut, codes, valid)
         seed_idx = jnp.asarray([[med]], dtype=jnp.int32)
-        seed_d = pq.adc_lookup(lut, codes[jnp.asarray([[med]])])
+        seed_d = jnp.take_along_axis(approx, seed_idx, axis=1)
         cand_idx, cand_d = traversal.graph_expand(
-            lut, codes, adj, valid, seed_idx, seed_d,
+            approx, adj, valid, seed_idx, seed_d,
             jnp.int32(64), jnp.int32(8),
             ef_buf=64, beam_buf=8, max_steps=64,
         )

@@ -7,6 +7,11 @@ import numpy as np
 from vectorsearch_tpu.ops import graph, pq, traversal
 
 
+def expand(lut, codes, adj, valid, seed, seed_d, ef, beam, **kw):
+    approx = pq.adc_scan(lut, codes, valid)
+    return traversal.graph_expand(approx, adj, valid, seed, seed_d, ef, beam, **kw)
+
+
 def line_graph_setup(n=16, d=4):
     """Points on a line; adjacency connects i <-> i+1. Exact PQ (centroid=point)."""
     x = np.zeros((n, d), np.float32)
@@ -30,7 +35,7 @@ def test_traversal_walks_the_line():
     # seed at node 0 — must walk the entire line to reach n-1
     seed = jnp.asarray([[0]], dtype=jnp.int32)
     seed_d = pq.adc_lookup(lut, codes[seed])
-    cand_idx, cand_d = traversal.graph_expand(
+    cand_idx, cand_d = expand(
         lut, codes, adj, jnp.ones(n, bool), seed, seed_d,
         jnp.int32(n), jnp.int32(1), ef_buf=n, beam_buf=1, max_steps=n + 2,
     )
@@ -51,7 +56,7 @@ def test_traversal_respects_row_valid():
     valid[5] = False  # break the line at node 5
     seed = jnp.asarray([[0]], dtype=jnp.int32)
     seed_d = pq.adc_lookup(lut, codes[seed])
-    cand_idx, _ = traversal.graph_expand(
+    cand_idx, _ = expand(
         lut, codes, adj, jnp.asarray(valid), seed, seed_d,
         jnp.int32(n), jnp.int32(1), ef_buf=n, beam_buf=1, max_steps=n + 2,
     )
@@ -66,7 +71,7 @@ def test_traversal_ef_limit_stops_exploration():
     lut = pq.build_lut(jnp.asarray(q), cb)
     seed = jnp.asarray([[0]], dtype=jnp.int32)
     seed_d = pq.adc_lookup(lut, codes[seed])
-    cand_idx, _ = traversal.graph_expand(
+    cand_idx, _ = expand(
         lut, codes, adj, jnp.ones(n, bool), seed, seed_d,
         jnp.int32(4), jnp.int32(1), ef_buf=n, beam_buf=1, max_steps=n + 2,
     )
@@ -84,7 +89,7 @@ def test_traversal_batched_queries_independent():
     lut = pq.build_lut(jnp.asarray(q), cb)
     seeds = jnp.asarray([[0], [0]], dtype=jnp.int32)
     seed_d = pq.adc_lookup(lut, codes[seeds])
-    cand_idx, cand_d = traversal.graph_expand(
+    cand_idx, cand_d = expand(
         lut, codes, adj, jnp.ones(n, bool), seeds, seed_d,
         jnp.int32(n), jnp.int32(1), ef_buf=n, beam_buf=1, max_steps=n + 2,
     )
@@ -117,7 +122,7 @@ def test_beam_mode_min_steps_forces_hops():
     seed = jnp.asarray([[0]], dtype=jnp.int32)
     seed_d = pq.adc_lookup(lut, codes[seed])
     # ef=1 would stop immediately, but min_steps=3 forces 3 hops (minHops floor)
-    cand_idx, _ = traversal.graph_expand(
+    cand_idx, _ = expand(
         lut, codes, adj, jnp.ones(n, bool), seed, seed_d,
         jnp.int32(1), jnp.int32(1), ef_buf=8, beam_buf=1, max_steps=8,
         min_steps=3, refine_frontier=False,

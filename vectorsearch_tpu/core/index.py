@@ -93,7 +93,7 @@ def _sealed_query_step(
     neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
     seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
     cand_idx, _cand_d = traversal_ops.graph_expand(
-        lut, codes, adjacency, exists, seed_idx, -neg_seed,
+        approx, adjacency, exists, seed_idx, -neg_seed,
         ef_dyn, beam_dyn,
         ef_buf=ef_buf, beam_buf=beam_buf,
         max_steps=max_steps, min_steps=min_steps,
@@ -635,12 +635,12 @@ class VectorIndex:
             piv_idx = jnp.broadcast_to(
                 jnp.asarray(pick, jnp.int32)[None, :], (qs.shape[0], pivots)
             )
-            piv_d = pq_ops.adc_lookup(lut, codes[piv_idx])
+            piv_d = jnp.take_along_axis(approx, piv_idx, axis=1)
             seed_idx = jnp.concatenate([seed_idx, piv_idx], axis=1)
             seed_d = jnp.concatenate([seed_d, piv_d], axis=1)
 
         cand_idx, cand_d = traversal_ops.graph_expand(
-            lut, codes, adjacency, exists, seed_idx, seed_d,
+            approx, adjacency, exists, seed_idx, seed_d,
             jnp.int32(tuned_ef), jnp.int32(tuned_beam),
             ef_buf=ef_buf, beam_buf=beam_buf,
             max_steps=max_steps, min_steps=min_steps, refine_frontier=refine,

@@ -7,7 +7,9 @@ dense arrays; each iteration
 
   1. selects the best `beam` unexpanded candidates (masked top_k),
   2. gathers their adjacency rows,
-  3. ADC-scores the neighbors against the per-query LUT,
+  3. reads the neighbors' ADC distances from the precomputed full-scan matrix
+     (the seed scan already scored every row; a per-row gather from
+     approx[Q, N] is ~16x cheaper than re-running per-candidate LUT lookups),
   4. dedups them (within the step by sorting, against the pool by comparison),
   5. merges them into the pool with one top_k.
 
@@ -39,8 +41,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-from vectorsearch_tpu.ops.pq import adc_lookup
 
 INF = jnp.float32(jnp.inf)
 _BIG = jnp.int32(2**30)
@@ -76,8 +76,7 @@ def _dedup_within_step(ids: jax.Array, new: jax.Array) -> jax.Array:
     static_argnames=("ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier"),
 )
 def graph_expand(
-    lut: jax.Array,  # f32[Q, M, K] per-query ADC lookup table
-    codes: jax.Array,  # u8[N, M] PQ codes
+    approx: jax.Array,  # f32[Q, N] full ADC scan (inf at invalid rows)
     adjacency: jax.Array,  # i32[N, R] (-1 padded)
     row_valid: jax.Array,  # bool[N] rows that exist (tombstones included)
     seed_idx: jax.Array,  # i32[Q, S] (-1 padded)
@@ -96,6 +95,7 @@ def graph_expand(
     q, s = seed_idx.shape
     n, r = adjacency.shape
     c = beam_buf * r  # neighbors gathered per step
+    assert approx.shape == (q, n)
 
     # ---- init candidate pool from seeds (dedup among seeds first) ----
     seed_ok = _dedup_within_step(seed_idx, seed_idx >= 0)
@@ -175,7 +175,7 @@ def graph_expand(
             in_pool = jnp.take_along_axis(sorted_pool, pos, axis=1) == nbrs
         new = new & ~in_pool
 
-        new_d = adc_lookup(lut, codes[safe_nbr])  # [Q, C]
+        new_d = jnp.take_along_axis(approx, safe_nbr, axis=1)  # [Q, C]
         new_d = jnp.where(new, new_d, INF)
         new_ids = jnp.where(new, nbrs, -1)
 
