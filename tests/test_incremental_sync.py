@@ -1,0 +1,56 @@
+"""Interleaved add/delete/query stress on one ACTIVE segment: exercises the
+incremental host->device sync (row-range uploads + tombstone flips) and the
+copy-on-write snapshot isolation."""
+
+import numpy as np
+
+from vectorsearch_tpu.utils.packing import bytes_to_floats, floats_to_bytes
+
+from tests.test_index_e2e import gaussian, make_index
+
+
+def test_interleaved_adds_queries_deletes(storage, rng):
+    idx = make_index(storage, max_segment_size=500)
+    x = gaussian(rng, 300)
+    gids = []
+    for wave in range(10):
+        lo, hi = wave * 30, (wave + 1) * 30
+        gids.extend(idx.add_all(x[lo:hi]))
+        # query between every mutation batch: device mirror must include the
+        # freshly appended rows and exclude earlier deletions
+        probe = hi - 1
+        res = idx.query(x[probe], 1)
+        assert res[0].gid == gids[probe], f"wave {wave}"
+        if wave % 2 == 1:
+            victim = lo  # delete the first row of this wave
+            idx.delete(gids[victim])
+            res = idx.query(x[victim], 30)
+            assert gids[victim] not in [r.gid for r in res]
+    # all survivors still findable with exact self-match
+    survivors = [g for i, g in enumerate(gids) if idx.resolve_ids([g])[0][0] >= 0]
+    assert len(survivors) == 300 - 5
+    hits = 0
+    for i in range(0, 300, 17):
+        if gids[i] not in survivors:
+            continue
+        if idx.query(x[i], 1)[0].gid == gids[i]:
+            hits += 1
+    assert hits == len(range(0, 300, 17)) - sum(
+        1 for i in range(0, 300, 17) if gids[i] not in survivors
+    )
+    idx.close()
+
+
+def test_float_packer_roundtrip(rng):
+    v = rng.normal(size=33).astype(np.float32)
+    b = floats_to_bytes(v)
+    assert len(b) == 132
+    back = bytes_to_floats(b)
+    assert np.array_equal(v, back)
+    # little-endian layout parity
+    assert b[:4] == v[0].astype("<f4").tobytes()
+    try:
+        bytes_to_floats(b"\x00" * 5)
+        assert False
+    except ValueError:
+        pass

@@ -149,35 +149,45 @@ def graph_expand(
         node = jnp.take_along_axis(cand_idx, pos, axis=1)  # [Q, beam_buf]
         safe_node = jnp.maximum(node, 0)
         nbrs = adjacency[safe_node].reshape(q, c)  # [Q, C]
-        safe_nbr = jnp.maximum(nbrs, 0)
-        nbr_ok = (
-            (nbrs >= 0)
-            & jnp.repeat(valid_sel, r, axis=1)
-            & row_valid[safe_nbr]
+        # Sort the gathered neighbor ids ONCE; dedup, the pool check, the
+        # distance gather, and the merge all operate in sorted order — order
+        # is irrelevant to the merge top_k, so the argsort+inverse-argsort
+        # pair of positional dedup collapses to a single value sort
+        # (exact within-step dedup is load-bearing: skipping it overcounts
+        # `explored` on shared neighbors and cost recall .99 -> .91).
+        keyed = jnp.where(
+            (nbrs >= 0) & jnp.repeat(valid_sel, r, axis=1), nbrs, _BIG
         )
-        # exact within-step dedup: skipping it (and deduping post-merge)
-        # was measured 10% faster but overcounts `explored` on duplicate
-        # neighbors, truncating exploration — recall@10 dropped .99 -> .91
-        new = _dedup_within_step(nbrs, nbr_ok)
+        sorted_ids = jnp.sort(keyed, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((q, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]],
+            axis=1,
+        )
+        new = first & (sorted_ids < _BIG)
         # dedup against the pool: a node present in the pool was already
         # visited; one evicted from the pool was worse than the whole pool and
         # will fall out of the merge again (see module docstring).
         pool_ids = jnp.where(cand_idx >= 0, cand_idx, -2)
         if ef_buf * c <= (1 << 22):
-            # small pools: one broadcast compare
-            in_pool = jnp.any(nbrs[:, :, None] == pool_ids[:, None, :], axis=2)
+            in_pool = jnp.any(
+                sorted_ids[:, :, None] == pool_ids[:, None, :], axis=2
+            )
         else:
-            # large pools: sort pool ids once, then batched binary search —
+            # large pools: sorted pool + batched binary search,
             # O(C log EF) instead of O(C * EF)
             sorted_pool = jnp.sort(pool_ids, axis=1)
-            pos = jax.vmap(jnp.searchsorted)(sorted_pool, nbrs)
-            pos = jnp.minimum(pos, ef_buf - 1)
-            in_pool = jnp.take_along_axis(sorted_pool, pos, axis=1) == nbrs
+            spos = jax.vmap(jnp.searchsorted)(sorted_pool, sorted_ids)
+            spos = jnp.minimum(spos, ef_buf - 1)
+            in_pool = jnp.take_along_axis(sorted_pool, spos, axis=1) == sorted_ids
         new = new & ~in_pool
 
-        new_d = jnp.take_along_axis(approx, safe_nbr, axis=1)  # [Q, C]
-        new_d = jnp.where(new, new_d, INF)
-        new_ids = jnp.where(new, nbrs, -1)
+        # row validity rides in `approx` (invalid rows are +inf) — no
+        # separate row_valid gather
+        safe_sorted = jnp.minimum(sorted_ids, n - 1)
+        nbr_dist = jnp.take_along_axis(approx, safe_sorted, axis=1)
+        new = new & jnp.isfinite(nbr_dist)
+        new_d = jnp.where(new, nbr_dist, INF)
+        new_ids = jnp.where(new, sorted_ids, -1)
 
         # explored counts every newly visited node, exactly like the
         # reference's `chosen` list (:948-963) — the within-step and pool
