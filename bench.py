@@ -101,6 +101,39 @@ def bench_sift100k():
     }
 
 
+def bench_sift1m():
+    """The full north-star shape: 1M vectors as 10 SEALED 100k segments."""
+    rng = np.random.default_rng(42)
+    n, d, k = 1_000_000, 128, 10
+    centers = rng.normal(size=(2048, d)).astype(np.float32) * 4
+    x = centers[rng.integers(0, 2048, n)] + rng.normal(size=(n, d)).astype(np.float32)
+    t0 = time.time()
+    idx, gids = build_index(x, d, seg_size=100_000, pq_m=16, pq_k=256,
+                            degree=32, breadth=64)
+    build_s = time.time() - t0
+    from vectorsearch_tpu.params import Mode, SearchParams
+
+    params = SearchParams(ef_search=150, beam_width=128, max_iters=6,
+                          max_explore=150, mode=Mode.BEST_FIRST)
+    q = centers[rng.integers(0, 2048, 512)] + rng.normal(size=(512, d)).astype(
+        np.float32
+    )
+    res = idx.query_batch(q[:128], k, params)
+    hits = 0
+    for i, r in enumerate(res):
+        truth = set(np.argsort(np.linalg.norm(x - q[i], axis=1))[:k].tolist())
+        hits += len(truth & {s.gid for s in r})
+    recall = hits / (128 * k)
+    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=128, params=params)
+    idx.close()
+    return {
+        "metric": f"sift1m_qps_per_chip_k10_recall{recall:.2f}_build{build_s:.0f}s",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }
+
+
 def bench_ref():
     rng = np.random.default_rng(42)
     n, d, k = 1100, 8, 10
@@ -128,8 +161,8 @@ def main():
 
     enable_persistent_cache()
     which = os.environ.get("VSTPU_BENCH", "sift100k")
-    out = bench_sift100k() if which == "sift100k" else bench_ref()
-    print(json.dumps(out))
+    fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref}[which]
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":
