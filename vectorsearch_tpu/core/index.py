@@ -26,7 +26,6 @@ from __future__ import annotations
 import functools
 import logging
 import math
-import threading
 import time
 from typing import Optional, Sequence
 
@@ -56,7 +55,7 @@ from vectorsearch_tpu.ops import topk as topk_ops
 from vectorsearch_tpu.ops import traversal as traversal_ops
 from vectorsearch_tpu.params import Mode, SearchParams, SeedStrategy
 from vectorsearch_tpu.results import SearchResult
-from vectorsearch_tpu.types import BRUTE_FORCE_STATES, GRAPH_STATES, SegmentState
+from vectorsearch_tpu.types import BRUTE_FORCE_STATES, GRAPH_STATES
 from vectorsearch_tpu.utils.metrics import get_registry
 
 LOG = logging.getLogger("vectorsearch_tpu.index")

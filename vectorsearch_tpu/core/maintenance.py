@@ -28,7 +28,7 @@ import numpy as np
 from vectorsearch_tpu.config import VectorIndexConfig
 from vectorsearch_tpu.core.store import VectorStore
 from vectorsearch_tpu.core.tasks import FindCompactionCandidatesTask
-from vectorsearch_tpu.types import SegmentMeta, SegmentState
+from vectorsearch_tpu.types import SegmentState
 from vectorsearch_tpu.utils.metrics import get_registry
 
 LOG = logging.getLogger("vectorsearch_tpu.maintenance")
