@@ -66,10 +66,11 @@ class MaintenanceService:
                         "vacuum(%d): ratio %.3f < %.3f; skip", seg_id, ratio, min_ratio
                     )
                     return 0
-                for vid in range(seg.next_row):
-                    if seg.exists_np[vid] and not seg.alive_np[vid]:
-                        seg.remove_row(vid)
-                        removed += 1
+                doomed = np.flatnonzero(
+                    seg.exists_np[: seg.next_row] & ~seg.alive_np[: seg.next_row]
+                )
+                seg.remove_rows(doomed)
+                removed = int(len(doomed))
                 seg.meta.deleted_count = max(0, seg.meta.deleted_count - removed)
                 seg.meta.last_vacuum_at_ms = cfg.effective.clock_ms()
                 seg.invalidate_device()
@@ -221,40 +222,52 @@ class MaintenanceService:
                 )
                 store.segments[dest_id] = dest  # not in registry => invisible
 
-                # 2) copy live rows + payloads, recording gid -> dest row
-                copy_plan: list[tuple[int, int, int, int]] = []  # (gid, src, vid, dvid)
+                # 2) copy live rows + payloads in ONE bulk append per source,
+                #    recording (gid, src loc, dest row) as parallel arrays
+                plan_gids: list[np.ndarray] = []
+                plan_src: list[np.ndarray] = []  # packed (src_sid, vid)
+                plan_dvid: list[np.ndarray] = []
                 for seg in sources:
-                    for vid in range(seg.next_row):
-                        if not seg.alive_np[vid]:
-                            continue
-                        gid = int(seg.gids_np[vid])
-                        if gid < 0:
-                            continue
-                        dvid = dest.append_rows(
-                            seg.vectors_np[vid : vid + 1], [seg.payloads[vid]]
-                        )[0]
-                        copy_plan.append((gid, seg.seg_id, vid, dvid))
+                    live = np.flatnonzero(
+                        seg.alive_np[: seg.next_row]
+                        & (seg.gids_np[: seg.next_row] >= 0)
+                    )
+                    if len(live) == 0:
+                        continue
+                    dvids = dest.append_rows(
+                        seg.vectors_np[live], [seg.payloads[i] for i in live]
+                    )
+                    plan_gids.append(seg.gids_np[live].copy())
+                    plan_src.append(
+                        (np.int64(seg.seg_id) << 32) | live.astype(np.int64)
+                    )
+                    plan_dvid.append(np.asarray(dvids, np.int64))
                 store.checkpoint_state()
 
             # 3) build + seal destination (PQ + graph; WRITING is buildable)
             self.build_service.build(dest_id)
 
             # 4) atomic swap: register dest, drop sources, remap gids; re-apply
-            #    deletes that arrived on sources during the build (:391-414)
+            #    deletes that arrived on sources during the build (:391-414) —
+            #    all through the native map's batch API
             with store.lock:
-                from vectorsearch_tpu.native import pack_loc as _pack
-
-                for gid, src_sid, src_vid, dvid in copy_plan:
-                    if store.gid_map.get(gid) != _pack(src_sid, src_vid):
-                        # deleted (or remapped) while we built: tombstone dest row
-                        if dest.alive_np[dvid]:
-                            dest.alive_np[dvid] = False
-                            dest.meta.count -= 1
-                            dest.meta.deleted_count += 1
-                            dest.gids_np[dvid] = -1
-                        continue
-                    store.gid_map.put(gid, _pack(dest_id, dvid))
-                    dest.gids_np[dvid] = gid
+                if plan_gids:
+                    gids_arr = np.concatenate(plan_gids)
+                    src_arr = np.concatenate(plan_src)
+                    dvid_arr = np.concatenate(plan_dvid)
+                    current = store.gid_map.get_batch(gids_arr)
+                    stale = current != src_arr  # deleted/remapped during build
+                    if stale.any():
+                        dead = dvid_arr[stale]
+                        dest.alive_np[dead] = False
+                        dest.gids_np[dead] = -1
+                        dest.meta.count -= int(stale.sum())
+                        dest.meta.deleted_count += int(stale.sum())
+                    ok = ~stale
+                    store.gid_map.put_batch(
+                        gids_arr[ok], (np.int64(dest_id) << 32) | dvid_arr[ok]
+                    )
+                    dest.gids_np[dvid_arr[ok]] = gids_arr[ok]
                 dest.invalidate_device()
                 store.registry.append(dest_id)
                 for seg in sources:

@@ -144,15 +144,22 @@ class Segment:
 
     def remove_row(self, vec_id: int) -> None:
         """Physically clears a row (vacuum): drops data + tombstone."""
-        self.exists_np[vec_id] = False
-        self.alive_np[vec_id] = False
-        self.gids_np[vec_id] = -1
-        self.payloads[vec_id] = None
-        self.vectors_np[vec_id] = 0.0
+        self.remove_rows(np.array([vec_id]))
+
+    def remove_rows(self, vec_ids: np.ndarray) -> None:
+        """Bulk physical clear (vacuum) — one vectorized pass."""
+        if len(vec_ids) == 0:
+            return
+        self.exists_np[vec_ids] = False
+        self.alive_np[vec_ids] = False
+        self.gids_np[vec_ids] = -1
+        for vid in vec_ids:
+            self.payloads[vid] = None
+        self.vectors_np[vec_ids] = 0.0
         if self.codes_np is not None:
-            self.codes_np[vec_id] = 0
+            self.codes_np[vec_ids] = 0
         if self.adjacency_np is not None:
-            self.adjacency_np[vec_id] = -1
+            self.adjacency_np[vec_ids] = -1
         self.version += 1
 
     def attach_build_artifacts(
