@@ -210,6 +210,9 @@ class VectorIndexConfig:
     pq_train_iters: int = 5  # reference hardcodes 5 (tasks/SegmentBuildService.java:180)
     pq_train_seed: int = 42  # reference hardcodes 42 (tasks/SegmentBuildService.java:180)
     query_batch_pad: int = 8  # queries are padded to multiples of this for jit reuse
+    fuse_multi_segment_queries: bool = False  # stack (query, segment) pairs
+    #   into one traversal program; measured slower than pipelined
+    #   per-segment programs on 100k segments (see ROADMAP.md)
     device: Any = None  # jax.Device to place segment tensors on (None = default)
     device_placement: str = "default"  # "default" | "round_robin": spread
     #   segments across jax.devices() — the multi-chip scale-out axis (segments

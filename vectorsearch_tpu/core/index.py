@@ -174,6 +174,72 @@ def _stacked_sealed_query(
     return s2, d2, i2, slot2
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric",
+    ),
+)
+def _multi_sealed_query(
+    q,  # f32[Q, D]
+    vectors_s,  # f32[S, N, D]
+    codebooks_s,  # f32[S, M, K, sub]
+    codes_s,  # u8[S, N, M]
+    adjacency_s,  # i32[S, N, R] (local ids)
+    exists_s,  # bool[S, N]
+    alive_s,  # bool[S, N]
+    ef_arr,  # i32[S]
+    beam_arr,  # i32[S]
+    slot_base,  # python int
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+):
+    """ALL same-shape sealed segments in ONE program by stacking
+    (query, segment) pairs on the row axis: per-segment ADC scans feed a
+    single traversal whose rows carry per-row ef/beam and an adjacency
+    offset into the flattened [S*N, R] table (rows never cross segments —
+    adjacency ids are segment-local). Exact per-segment search semantics,
+    one prologue and one while_loop for the whole group."""
+    s_count, n, d = vectors_s.shape
+    qn = q.shape[0]
+
+    approx_rows = []
+    for si in range(s_count):  # unrolled: S is static per group shape
+        lut = pq_ops.build_lut(q, codebooks_s[si])
+        approx_rows.append(pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si]))
+    approx = jnp.concatenate(approx_rows, axis=0)  # [S*Q, N], segment-major
+
+    neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
+    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+
+    adj_flat = adjacency_s.reshape(s_count * n, -1)
+    row_off = jnp.repeat(jnp.arange(s_count, dtype=jnp.int32) * n, qn)
+    ef_rows = jnp.repeat(ef_arr.astype(jnp.int32), qn)
+    beam_rows = jnp.repeat(beam_arr.astype(jnp.int32), qn)
+
+    cand_idx, _cand_d = traversal_ops.graph_expand(
+        approx, adj_flat, exists_s.reshape(-1), seed_idx, -neg_seed,
+        ef_rows, beam_rows, row_off,
+        ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+        min_steps=min_steps, refine_frontier=refine_frontier,
+    )
+
+    flat_ids = jnp.where(cand_idx >= 0, cand_idx + row_off[:, None], -1)
+    scores, dists, gidx = traversal_ops.exact_rerank(
+        jnp.tile(q, (s_count, 1)), vectors_s.reshape(s_count * n, d),
+        alive_s.reshape(-1), flat_ids, rr, metric,
+    )
+    # back to [Q, S*rr] with local vids + segment slots
+    seg_of = gidx // n
+    vid = jnp.where(gidx >= 0, gidx - seg_of * n, -1)
+    slot = jnp.where(gidx >= 0, slot_base + seg_of, -1)
+
+    def regroup(a):
+        return jnp.moveaxis(a.reshape(s_count, qn, -1), 0, 1).reshape(qn, -1)
+
+    return regroup(scores), regroup(dists), regroup(vid), regroup(slot)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "n_per_seg"))
 def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg):
     """ALL brute-force segments in one flattened pairwise matmul + top-k;
@@ -486,12 +552,7 @@ class VectorIndex:
                     slots = jnp.where(idx >= 0, jnp.int32(base), -1)
                     entries.append((scores, dists, idx, slots))
                 continue
-            # Group-level static buckets (one compile per group shape), but
-            # per-segment fused calls pipelined back to back WITHOUT any
-            # intermediate sync — measured faster than one vmapped program
-            # (vmap of the traversal while_loop lowers to slower batched
-            # gathers; the stacked-vmap variant remains available as
-            # _stacked_sealed_query for very high segment counts).
+            # Group-level static buckets (one compile per group shape).
             tuned = [self._auto_tune(seg, k, params) for seg in group]
             ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
             beam_buf = min(_bucket(max(t[1] for t in tuned), lo=8), ef_buf)
@@ -501,6 +562,37 @@ class VectorIndex:
                 max_steps = max(params.max_iters, params.min_hops)
                 min_steps = params.min_hops
                 refine = params.refine_frontier
+
+            # Optional: fuse same-shape segments into ONE program ((query,
+            # segment) pairs stacked on the row axis). Measured SLOWER than
+            # pipelined per-segment programs at S=10/Q=128 (465 vs 569 qps:
+            # straggler rows hold the whole batch and the wider sorts cost
+            # more than the saved prologues) — off by default, kept for
+            # shapes where it may win (many tiny segments).
+            approx_bytes = len(group) * nq * group[0].cap_pad * 4
+            if (
+                self.config.fuse_multi_segment_queries
+                and len(group) > 1
+                and not multi_device
+                and approx_bytes <= (1 << 30)
+            ):
+                stack = self._stacks.sealed(group)
+                base = len(seg_list)
+                seg_list.extend(group)
+                entries.append(
+                    _multi_sealed_query(
+                        qd, stack.vectors, stack.codebooks, stack.codes,
+                        stack.adjacency, stack.exists, stack.alive,
+                        jnp.asarray([t[0] for t in tuned], jnp.int32),
+                        jnp.asarray([t[1] for t in tuned], jnp.int32),
+                        base,
+                        ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+                        min_steps=min_steps, refine_frontier=refine,
+                        rr=min(per_seg_limit, ef_buf), metric=self.config.metric,
+                    )
+                )
+                continue
+
             for seg, (tuned_ef, tuned_beam) in zip(group, tuned):
                 base = len(seg_list)
                 seg_list.append(seg)

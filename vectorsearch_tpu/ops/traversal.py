@@ -81,8 +81,11 @@ def graph_expand(
     row_valid: jax.Array,  # bool[N] rows that exist (tombstones included)
     seed_idx: jax.Array,  # i32[Q, S] (-1 padded)
     seed_dist: jax.Array,  # f32[Q, S] ADC dists of seeds (inf padded)
-    ef_dyn: jax.Array,  # i32 scalar: effective ef (candidates to explore)
-    beam_dyn: jax.Array,  # i32 scalar: effective beam width
+    ef_dyn: jax.Array,  # i32 scalar or [Q]: effective ef per query row
+    beam_dyn: jax.Array,  # i32 scalar or [Q]: effective beam width per row
+    adj_row_offset: jax.Array | None = None,  # i32[Q]: offset added to node
+    #   ids when gathering adjacency — lets stacked (query, segment) rows
+    #   share one flattened [S*N, R] adjacency while keeping local ids
     *,
     ef_buf: int,  # static candidate-pool size >= ef_dyn
     beam_buf: int,  # static max frontier width >= beam_dyn
@@ -93,9 +96,11 @@ def graph_expand(
     """Expands the graph frontier; returns (cand_idx i32[Q, ef_buf],
     cand_dist f32[Q, ef_buf]) sorted ascending by approximate distance."""
     q, s = seed_idx.shape
-    n, r = adjacency.shape
+    n_adj, r = adjacency.shape
+    n = approx.shape[1]
     c = beam_buf * r  # neighbors gathered per step
-    assert approx.shape == (q, n)
+    ef_vec = jnp.broadcast_to(jnp.asarray(ef_dyn, jnp.int32), (q,))
+    beam_vec = jnp.broadcast_to(jnp.asarray(beam_dyn, jnp.int32), (q,))
 
     # ---- init candidate pool from seeds (dedup among seeds first) ----
     seed_ok = _dedup_within_step(seed_idx, seed_idx >= 0)
@@ -126,19 +131,21 @@ def graph_expand(
 
     def cond(state):
         cand_idx, cand_d, expanded, fresh, explored, step = state
-        active_q = explored < ef_dyn
+        active_q = explored < ef_vec
         has_work = jnp.any(selectable(state) & active_q[:, None])
         forced = (step < min_steps) & jnp.any(selectable(state))
         return (step < max_steps) & (has_work | forced)
 
     def body(state):
         cand_idx, cand_d, expanded, fresh, explored, step = state
-        active_q = (explored < ef_dyn) | (step < min_steps)
+        active_q = (explored < ef_vec) | (step < min_steps)
 
         sel = selectable(state)
         sel_score = jnp.where(sel, -cand_d, -INF)
         top_score, pos = jax.lax.top_k(sel_score, beam_buf)  # [Q, beam_buf]
-        valid_sel = (top_score > -INF) & (beam_iota < beam_dyn) & active_q[:, None]
+        valid_sel = (
+            (top_score > -INF) & (beam_iota < beam_vec[:, None]) & active_q[:, None]
+        )
 
         # mark expanded via broadcast compare (scatter-free)
         hit = jnp.any(
@@ -148,6 +155,8 @@ def graph_expand(
 
         node = jnp.take_along_axis(cand_idx, pos, axis=1)  # [Q, beam_buf]
         safe_node = jnp.maximum(node, 0)
+        if adj_row_offset is not None:
+            safe_node = safe_node + adj_row_offset[:, None]
         nbrs = adjacency[safe_node].reshape(q, c)  # [Q, C]
         # Sort the gathered neighbor ids ONCE; dedup, the pool check, the
         # distance gather, and the merge all operate in sorted order — order
