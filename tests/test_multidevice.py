@@ -53,3 +53,36 @@ def test_round_robin_invalid_value(storage):
             storage=storage, name="bad", dimension=8, pq_m=4, pq_k=16,
             device_placement="everywhere",
         )
+
+
+def test_unified_search_returns_correct_results(storage, rng):
+    """Opt-in unified cross-segment search: one disconnected graph, shared
+    per-query budget — results stay correct (recall tradeoffs documented in
+    ROADMAP.md)."""
+    from vectorsearch_tpu.config import VectorIndexConfig
+    from vectorsearch_tpu.core.index import VectorIndex
+    from tests.test_index_e2e import run_builds
+
+    idx = VectorIndex.create_or_open(
+        VectorIndexConfig(
+            storage=storage, name="uni", dimension=8, max_segment_size=60,
+            pq_m=4, pq_k=16, graph_degree=16, graph_build_breadth=64,
+            unified_search=True,
+        )
+    )
+    x = gaussian(rng, 120)  # 2 sealed segments
+    gids = idx.add_all(x)
+    run_builds(idx)
+    assert idx.store.segments[0].state == SegmentState.SEALED
+    assert idx.store.segments[1].state == SegmentState.SEALED
+    hits = 0
+    res = idx.query_batch(x[:60], 10)
+    for i, r in enumerate(res):
+        assert r, i
+        if r[0].gid == gids[i]:
+            hits += 1
+    assert hits / 60 >= 0.9
+    # deletes respected through the unified path
+    idx.delete(gids[5])
+    assert gids[5] not in [r.gid for r in idx.query(x[5], 30)]
+    idx.close()

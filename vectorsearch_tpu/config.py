@@ -213,6 +213,10 @@ class VectorIndexConfig:
     fuse_multi_segment_queries: bool = False  # stack (query, segment) pairs
     #   into one traversal program; measured slower than pipelined
     #   per-segment programs on 100k segments (see ROADMAP.md)
+    unified_search: bool = False  # TPU-native extension: search all sealed
+    #   segments of a shape group as ONE disconnected graph with a single
+    #   per-query exploration budget (the reference spends ef in EVERY
+    #   segment). Changes per-segment ef/fan-in semantics — opt in.
     device: Any = None  # jax.Device to place segment tensors on (None = default)
     device_placement: str = "default"  # "default" | "round_robin": spread
     #   segments across jax.devices() — the multi-chip scale-out axis (segments

@@ -240,6 +240,60 @@ def _multi_sealed_query(
     return regroup(scores), regroup(dists), regroup(vid), regroup(slot)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric",
+    ),
+)
+def _unified_sealed_query(
+    q,  # f32[Q, D]
+    vectors_s,  # f32[S, N, D]
+    codebooks_s,  # f32[S, M, K, sub]
+    codes_s,  # u8[S, N, M]
+    adjacency_global,  # i32[S*N, R] (GLOBAL ids)
+    exists_s,  # bool[S, N]
+    alive_s,  # bool[S, N]
+    ef_dyn,  # i32 scalar: ONE shared ef per query over the whole corpus
+    beam_dyn,  # i32 scalar
+    slot_base,  # python int
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+):
+    """Unified cross-segment search (TPU-native extension; opt-in via
+    config.unified_search): all sealed segments of a shape group form ONE
+    disconnected graph with global row ids. Seeds come from the global ADC
+    top-k and a single candidate pool of `ef` spans the corpus — one
+    traversal program instead of S, and the exploration budget is per QUERY
+    rather than per segment (the reference spends ef in every segment).
+    Results carry (slot, vid) decomposed from the global ids."""
+    s_count, n, d = vectors_s.shape
+    qn = q.shape[0]
+    approx_cols = []
+    for si in range(s_count):  # unrolled; S static per group shape
+        lut = pq_ops.build_lut(q, codebooks_s[si])
+        approx_cols.append(pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si]))
+    approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
+
+    neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
+    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+
+    cand_idx, _cand_d = traversal_ops.graph_expand(
+        approx, adjacency_global, exists_s.reshape(-1), seed_idx, -neg_seed,
+        ef_dyn, beam_dyn,
+        ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+        min_steps=min_steps, refine_frontier=refine_frontier,
+    )
+    scores, dists, gidx = traversal_ops.exact_rerank(
+        q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
+        cand_idx, rr, metric,
+    )
+    seg_of = gidx // n
+    vid = jnp.where(gidx >= 0, gidx - seg_of * n, -1)
+    slot = jnp.where(gidx >= 0, slot_base + seg_of, -1)
+    return scores, dists, vid, slot
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "n_per_seg"))
 def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg):
     """ALL brute-force segments in one flattened pairwise matmul + top-k;
@@ -563,13 +617,42 @@ class VectorIndex:
                 min_steps = params.min_hops
                 refine = params.refine_frontier
 
+            # Unified cross-segment search (opt-in): one disconnected graph,
+            # one per-query budget, one program for the whole group.
+            approx_bytes = len(group) * nq * group[0].cap_pad * 4
+            if (
+                self.config.unified_search
+                and len(group) > 1
+                and not multi_device
+                and approx_bytes <= (1 << 31)
+            ):
+                stack = self._stacks.sealed(group)
+                base = len(seg_list)
+                seg_list.extend(group)
+                total_codes = sum(seg.exists_count() for seg in group)
+                u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
+                u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
+                u_beam_buf = min(_bucket(u_beam, lo=8), u_ef_buf)
+                entries.append(
+                    _unified_sealed_query(
+                        qd, stack.vectors, stack.codebooks, stack.codes,
+                        stack.adjacency_global, stack.exists, stack.alive,
+                        u_ef, u_beam, base,
+                        ef_buf=u_ef_buf, beam_buf=u_beam_buf,
+                        max_steps=u_ef_buf, min_steps=min_steps,
+                        refine_frontier=refine,
+                        rr=min(per_seg_limit * len(group), u_ef_buf),
+                        metric=self.config.metric,
+                    )
+                )
+                continue
+
             # Optional: fuse same-shape segments into ONE program ((query,
             # segment) pairs stacked on the row axis). Measured SLOWER than
             # pipelined per-segment programs at S=10/Q=128 (465 vs 569 qps:
             # straggler rows hold the whole batch and the wider sorts cost
             # more than the saved prologues) — off by default, kept for
             # shapes where it may win (many tiny segments).
-            approx_bytes = len(group) * nq * group[0].cap_pad * 4
             if (
                 self.config.fuse_multi_segment_queries
                 and len(group) > 1
@@ -664,7 +747,9 @@ class VectorIndex:
 
     def _auto_tune(self, seg: Segment, k: int, params: SearchParams) -> tuple[int, int]:
         """Returns (tuned_ef, tuned_beam) for a sealed segment."""
-        n_codes = seg.exists_count()
+        return self._auto_tune_n(seg.exists_count(), k, params)
+
+    def _auto_tune_n(self, n_codes: int, k: int, params: SearchParams) -> tuple[int, int]:
         base_ef = max(params.ef_search, k * max(1, params.per_segment_limit_multiplier))
         scale = int(max(1, round(math.sqrt(max(1, n_codes) / 1000.0))))
         tuned_ef = min(params.max_explore, max(base_ef, min(n_codes, base_ef * scale)))

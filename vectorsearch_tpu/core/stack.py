@@ -39,6 +39,19 @@ class SealedStack:
         self.adjacency = jnp.stack([s.adjacency_dev for s in segments])
         self.exists = jnp.stack([s.exists_dev for s in segments])
         self.alive = jnp.stack([s.alive_dev for s in segments])
+        self._adjacency_global = None
+
+    @property
+    def adjacency_global(self):
+        """Flattened adjacency with GLOBAL ids (row s*N+v): the union of the
+        per-segment graphs as one disconnected graph, for unified search."""
+        if self._adjacency_global is None:
+            s_count, n, r = self.adjacency.shape
+            offs = (jnp.arange(s_count, dtype=jnp.int32) * n)[:, None, None]
+            self._adjacency_global = jnp.where(
+                self.adjacency >= 0, self.adjacency + offs, -1
+            ).reshape(s_count * n, r)
+        return self._adjacency_global
 
 
 class BruteStack:
