@@ -47,6 +47,41 @@ def test_round_robin_placement_and_query(storage, rng):
     idx.close()
 
 
+def test_per_device_build_locks(storage, rng):
+    """Device-heavy builds serialize per DEVICE, not globally: segments on
+    different chips build concurrently under round_robin placement."""
+    from vectorsearch_tpu.core.build import SegmentBuildService
+
+    d0, d1 = jax.devices()[0], jax.devices()[1]
+    assert SegmentBuildService._compute_lock_for(d0) is (
+        SegmentBuildService._compute_lock_for(d0)
+    )
+    assert SegmentBuildService._compute_lock_for(d0) is not (
+        SegmentBuildService._compute_lock_for(d1)
+    )
+
+    # e2e: background worker threads + round_robin placement seal everything
+    idx = VectorIndex.create_or_open(
+        VectorIndexConfig(
+            storage=storage, name="rrlocks", dimension=8, max_segment_size=40,
+            pq_m=4, pq_k=16, graph_degree=8, graph_build_breadth=32,
+            device_placement="round_robin", local_worker_threads=3,
+        )
+    )
+    x = gaussian(rng, 170)  # 4 sealed + 1 active
+    gids = idx.add_all(x)
+    assert idx.await_indexing_complete(timeout=120)
+    with idx.store.lock:
+        sealed = [s for s in idx.store.segments.values()
+                  if s.state == SegmentState.SEALED]
+    assert len(sealed) == 4
+    assert len({s.device for s in sealed}) >= 3
+    res = idx.query_batch(x[:50], 10)
+    hits = sum(1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r])
+    assert hits / 50 >= 0.9
+    idx.close()
+
+
 def test_round_robin_invalid_value(storage):
     with pytest.raises(ValueError, match="devicePlacement"):
         VectorIndexConfig(

@@ -39,10 +39,18 @@ LOG = logging.getLogger("vectorsearch_tpu.build")
 
 class SegmentBuildService:
     # One device executes one build's kernels at a time anyway; serializing
-    # device-heavy builds across worker threads avoids N threads racing to
-    # compile the same kernels (first-compile is ~40s) and blowing task
-    # leases. Worker threads still overlap claim/IO/host work.
-    _compute_lock = threading.Lock()
+    # device-heavy builds PER DEVICE avoids N threads racing to compile the
+    # same kernels (first-compile is ~40s) and blowing task leases, while
+    # letting builds of segments placed on DIFFERENT chips (round_robin
+    # placement) overlap. Worker threads still overlap claim/IO/host work.
+    _device_locks: dict = {}
+    _locks_guard = threading.Lock()
+
+    @classmethod
+    def _compute_lock_for(cls, device) -> threading.Lock:
+        key = "default" if device is None else repr(device)
+        with cls._locks_guard:
+            return cls._device_locks.setdefault(key, threading.Lock())
 
     def __init__(self, config: VectorIndexConfig, store: VectorStore):
         self.config = config
@@ -51,8 +59,11 @@ class SegmentBuildService:
     def build(self, seg_id: int) -> None:
         t0 = time.monotonic()
         metrics = get_registry()
+        with self.store.lock:
+            seg = self.store.segments.get(seg_id)
+            device = seg.device if seg is not None else None
         try:
-            with SegmentBuildService._compute_lock:
+            with SegmentBuildService._compute_lock_for(device):
                 self._build_inner(seg_id)
             metrics.inc("vectorsearch.build.count")
         finally:
