@@ -47,15 +47,34 @@ def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
     return idx, gids
 
 
-def measure_qps(idx, queries, k, batch, seconds=5.0, params=None):
+def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=4):
+    """Serving throughput: `in_flight` concurrent clients keep the chip busy
+    (device compute serializes; host merge and device->host fetch round-trips
+    overlap — a single synchronous client measures tunnel latency, not chip
+    throughput)."""
+    import threading
+
     idx.query_batch(queries[:batch], k, params)  # compile warmup
+    stop = [False]
+    counts = [0] * in_flight
+
+    def client(i):
+        done = 0
+        while not stop[0]:
+            off = (i * batch + done) % (len(queries) - batch)
+            idx.query_batch(queries[off : off + batch], k, params)
+            done += batch
+            counts[i] += batch
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(in_flight)]
     t0 = time.perf_counter()
-    done = 0
-    while time.perf_counter() - t0 < seconds:
-        off = done % (len(queries) - batch)
-        idx.query_batch(queries[off : off + batch], k, params)
-        done += batch
-    return done / (time.perf_counter() - t0)
+    for t in threads:
+        t.start()
+    time.sleep(seconds)
+    stop[0] = True
+    for t in threads:
+        t.join()
+    return sum(counts) / (time.perf_counter() - t0)
 
 
 def bench_sift100k():

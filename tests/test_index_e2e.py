@@ -121,6 +121,51 @@ def test_self_recall_1000_vectors(storage, rng):
     idx.close()
 
 
+def test_flat_pool_dominates_graph_pool(storage, rng):
+    """sealed_search_mode=flat (the default) must recall at least as well as
+    the graph traversal at equal ef: the flat pool is the GLOBAL ADC top-ef
+    while the traversal ranks a visited subset by the same ADC distances."""
+    x = gaussian(rng, 300)
+    hits = {}
+    for mode in ("flat", "graph"):
+        idx = make_index(storage, name=f"fl-{mode}", max_segment_size=150,
+                         sealed_search_mode=mode)
+        gids = idx.add_all(x)
+        run_builds(idx)
+        res = idx.query_batch(x[:150], 10)
+        hits[mode] = sum(
+            1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r]
+        )
+        # deletes respected through this path
+        victim = idx.query(x[20], 1)[0].gid
+        idx.delete(victim)
+        assert victim not in [r.gid for r in idx.query(x[20], 20)]
+        idx.close()
+    assert hits["flat"] >= hits["graph"] >= 135  # 0.9 floor on 150
+
+
+def test_sealed_search_mode_validation(storage):
+    with pytest.raises(ValueError, match="sealedSearchMode"):
+        VectorIndexConfig(
+            storage=storage, name="bad", dimension=8, pq_m=4, pq_k=16,
+            sealed_search_mode="hybrid",
+        )
+
+
+def test_beam_mode_uses_graph_even_in_flat_config(storage, rng):
+    """Mode.BEAM is a traversal concept: it must keep working (and warning)
+    under the flat default."""
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 60)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    params = SearchParams(mode=Mode.BEAM, max_iters=4, beam_width=16,
+                          ef_search=40)
+    res = idx.query(x[7], 10, params)
+    assert gids[7] in [r.gid for r in res]
+    idx.close()
+
+
 def test_query_merges_brute_force_and_sealed(storage, rng):
     idx = make_index(storage, max_segment_size=50)
     x = gaussian(rng, 80)  # seg0 sealed-able (50), seg1 ACTIVE (30)

@@ -217,6 +217,13 @@ class VectorIndexConfig:
     #   segments of a shape group as ONE disconnected graph with a single
     #   per-query exploration budget (the reference spends ef in EVERY
     #   segment). Changes per-segment ef/fan-in semantics — opt in.
+    sealed_search_mode: str = "flat"  # "flat" | "graph". flat (TPU-native
+    #   default): the candidate pool is the global ADC top-ef of the full
+    #   scan (computed anyway for seeds) — dominates any graph-traversal
+    #   pool at equal ef because the traversal ranks a visited SUBSET by
+    #   the same ADC distances (~22x QPS at >= recall on v5e; see
+    #   core/index._sealed_query_step). graph: the reference's BEST_FIRST
+    #   frontier expansion. BEAM mode / RANDOM_PIVOTS always traverse.
     device: Any = None  # jax.Device to place segment tensors on (None = default)
     device_placement: str = "default"  # "default" | "round_robin": spread
     #   segments across jax.devices() — the multi-chip scale-out axis (segments
@@ -249,6 +256,8 @@ class VectorIndexConfig:
             raise ValueError("graphAlpha must be >= 0")
         if self.oversample <= 0:
             raise ValueError("oversample must be positive")
+        if self.sealed_search_mode not in ("flat", "graph"):
+            raise ValueError("sealedSearchMode must be 'flat' or 'graph'")
         # Validate operational fields by constructing the effective WorkerConfig.
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
         if self.pq_train_iters <= 0:

@@ -73,31 +73,54 @@ def _bucket(n: int, lo: int = 16) -> int:
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric",
+        "rr", "metric", "flat",
     ),
 )
 def _sealed_query_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+    flat=False,
 ):
     """The fused sealed-segment query: LUT build -> full ADC scan -> seed
     top-k -> graph expansion -> exact re-rank, one XLA program
     (the composition of fdb/FdbVectorIndex.java:730-837 as a single kernel).
+
+    ``flat=True`` (the TPU-native default, config.sealed_search_mode): skip
+    the graph expansion and take the candidate pool directly as the GLOBAL
+    ADC top-ef of the full scan. The full scan is already computed for the
+    seeds, and the traversal's pool is ranked by these same ADC distances
+    over a *subset* of visited nodes — so the flat pool dominates any
+    traversal pool at equal ef by construction (recall is >= at ~22x the
+    QPS measured on v5e: graph expansion steps are gather-bound at ~36 ms
+    per step at Q=512/N=100k while the whole flat pipeline runs in ~9 ms).
+    The graph path remains for BEAM-mode parity and scan-free designs.
     """
     lut = pq_ops.build_lut(q, codebook)
     approx = pq_ops.adc_scan_auto(lut, codes, exists)
-    # approx_max_k: the seeds are approximate by construction; a full top_k
-    # over N columns is a per-row sort and dominates at 100k-row segments
-    neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
-    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
-    cand_idx, _cand_d = traversal_ops.graph_expand(
-        approx, adjacency, exists, seed_idx, -neg_seed,
-        ef_dyn, beam_dyn,
-        ef_buf=ef_buf, beam_buf=beam_buf,
-        max_steps=max_steps, min_steps=min_steps,
-        refine_frontier=refine_frontier,
-    )
+    if flat:
+        # Pool = the full static buffer (ef bucketed up to ef_buf), matching
+        # the graph path's effective semantics: there too the whole ef_buf
+        # candidate buffer reaches the re-rank — ef_dyn only gates further
+        # EXPLORATION, a concept with no flat counterpart. Masking the pool
+        # down to ef_dyn measured recall .99 -> .87 on sift100k while the
+        # graph path at the same ef stayed .99 via its full buffer.
+        neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
+        cand_idx = jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32), -1)
+    else:
+        # approx_max_k: the seeds are approximate by construction; a full
+        # top_k over N columns is a per-row sort and dominates at 100k rows
+        neg_seed, seed_idx = jax.lax.approx_max_k(
+            -approx, beam_buf, recall_target=0.95
+        )
+        seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+        cand_idx, _cand_d = traversal_ops.graph_expand(
+            approx, adjacency, exists, seed_idx, -neg_seed,
+            ef_dyn, beam_dyn,
+            ef_buf=ef_buf, beam_buf=beam_buf,
+            max_steps=max_steps, min_steps=min_steps,
+            refine_frontier=refine_frontier,
+        )
     return traversal_ops.exact_rerank(q, vectors, alive, cand_idx, rr, metric)
 
 
@@ -105,13 +128,14 @@ def _sealed_query_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric",
+        "rr", "metric", "flat",
     ),
 )
 def _sealed_query_slot_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn, slot_base,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+    flat=False,
 ):
     """_sealed_query_step plus the per-result segment-slot array, so the
     per-segment dispatch is exactly one XLA call."""
@@ -120,7 +144,7 @@ def _sealed_query_slot_step(
         ef_dyn, beam_dyn,
         ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
         min_steps=min_steps, refine_frontier=refine_frontier,
-        rr=rr, metric=metric,
+        rr=rr, metric=metric, flat=flat,
     )
     slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
     return sc, di, iv, slots
@@ -130,7 +154,7 @@ def _sealed_query_slot_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric",
+        "rr", "metric", "flat",
     ),
 )
 def _stacked_sealed_query(
@@ -145,6 +169,7 @@ def _stacked_sealed_query(
     beam_arr,  # i32[S] per-segment tuned beam
     slot_base,  # i32 scalar: global segment-slot offset of this stack
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+    flat=False,
 ):
     """ALL sealed segments in one XLA program: vmap of the fused sealed query
     over the stacked segment axis, results flattened to [Q, S*rr] with a
@@ -155,7 +180,7 @@ def _stacked_sealed_query(
             q, vec, cb, code, adj, ex, al, ef, beam,
             ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
             min_steps=min_steps, refine_frontier=refine_frontier,
-            rr=rr, metric=metric,
+            rr=rr, metric=metric, flat=flat,
         )
 
     s, d, i = jax.vmap(one)(
@@ -244,7 +269,7 @@ def _multi_sealed_query(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric",
+        "rr", "metric", "flat",
     ),
 )
 def _unified_sealed_query(
@@ -259,6 +284,7 @@ def _unified_sealed_query(
     beam_dyn,  # i32 scalar
     slot_base,  # python int
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
+    flat=False,
 ):
     """Unified cross-segment search (TPU-native extension; opt-in via
     config.unified_search): all sealed segments of a shape group form ONE
@@ -266,7 +292,10 @@ def _unified_sealed_query(
     top-k and a single candidate pool of `ef` spans the corpus — one
     traversal program instead of S, and the exploration budget is per QUERY
     rather than per segment (the reference spends ef in every segment).
-    Results carry (slot, vid) decomposed from the global ids."""
+    Results carry (slot, vid) decomposed from the global ids.
+
+    ``flat=True``: the pool is the global ADC top-ef across ALL segments
+    (no traversal; see _sealed_query_step for the dominance argument)."""
     s_count, n, d = vectors_s.shape
     qn = q.shape[0]
     approx_cols = []
@@ -275,15 +304,22 @@ def _unified_sealed_query(
         approx_cols.append(pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si]))
     approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
 
-    neg_seed, seed_idx = jax.lax.approx_max_k(-approx, beam_buf, recall_target=0.95)
-    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+    if flat:
+        # full-buffer pool; see _sealed_query_step for the ef semantics note
+        neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
+        cand_idx = jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32), -1)
+    else:
+        neg_seed, seed_idx = jax.lax.approx_max_k(
+            -approx, beam_buf, recall_target=0.95
+        )
+        seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
 
-    cand_idx, _cand_d = traversal_ops.graph_expand(
-        approx, adjacency_global, exists_s.reshape(-1), seed_idx, -neg_seed,
-        ef_dyn, beam_dyn,
-        ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
-        min_steps=min_steps, refine_frontier=refine_frontier,
-    )
+        cand_idx, _cand_d = traversal_ops.graph_expand(
+            approx, adjacency_global, exists_s.reshape(-1), seed_idx, -neg_seed,
+            ef_dyn, beam_dyn,
+            ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+            min_steps=min_steps, refine_frontier=refine_frontier,
+        )
     scores, dists, gidx = traversal_ops.exact_rerank(
         q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
         cand_idx, rr, metric,
@@ -327,18 +363,29 @@ def _merge_entries_host(entries, k):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _merge_entries(scores_t, dists_t, vids_t, slots_t, k):
     """Cross-segment merge of all result groups in one program
-    (the reference's score merge, fdb/FdbVectorIndex.java:432-469)."""
+    (the reference's score merge, fdb/FdbVectorIndex.java:432-469).
+
+    Returns ONE packed f32[4, Q, kk] array (int planes bitcast to f32) so the
+    host needs a single device->host fetch: each blocking fetch costs a full
+    dispatch round-trip (~36 ms through the axon tunnel — measured 146 ms of
+    a 191 ms query batch spent in four sequential np.asarray calls)."""
     scores = jnp.concatenate(scores_t, axis=1)
     dists = jnp.concatenate(dists_t, axis=1)
     vids = jnp.concatenate(vids_t, axis=1)
     slots = jnp.concatenate(slots_t, axis=1)
     kk = min(k, scores.shape[1])
     top_s, pos = jax.lax.top_k(scores, kk)
-    return (
-        top_s,
-        jnp.take_along_axis(dists, pos, axis=1),
-        jnp.take_along_axis(vids, pos, axis=1),
-        jnp.take_along_axis(slots, pos, axis=1),
+    return jnp.stack(
+        [
+            top_s,
+            jnp.take_along_axis(dists, pos, axis=1),
+            jax.lax.bitcast_convert_type(
+                jnp.take_along_axis(vids, pos, axis=1), jnp.float32
+            ),
+            jax.lax.bitcast_convert_type(
+                jnp.take_along_axis(slots, pos, axis=1), jnp.float32
+            ),
+        ]
     )
 
 
@@ -594,6 +641,15 @@ class VectorIndex:
         sgroups: dict[tuple, list[Segment]] = {}
         for seg in sealed_segs:
             sgroups.setdefault((seg.cap_pad, id(seg.device)), []).append(seg)
+        # Flat mode (config.sealed_search_mode, the TPU-native default): the
+        # candidate pool is the global ADC top-ef of the full scan — computed
+        # anyway for seeds — which dominates any traversal pool at equal ef
+        # (see _sealed_query_step). BEAM mode and RANDOM_PIVOTS are traversal
+        # concepts and keep the graph path for parity.
+        flat = (
+            self.config.sealed_search_mode == "flat"
+            and params.mode == Mode.BEST_FIRST
+        )
         for (cap, _dev), group in sgroups.items():
             if not use_stacked:
                 for seg in group:
@@ -642,7 +698,7 @@ class VectorIndex:
                         max_steps=u_ef_buf, min_steps=min_steps,
                         refine_frontier=refine,
                         rr=min(per_seg_limit * len(group), u_ef_buf),
-                        metric=self.config.metric,
+                        metric=self.config.metric, flat=flat,
                     )
                 )
                 continue
@@ -687,6 +743,7 @@ class VectorIndex:
                     ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
                     min_steps=min_steps, refine_frontier=refine,
                     rr=min(per_seg_limit, ef_buf), metric=self.config.metric,
+                    flat=flat,
                 )
                 entries.append((sc, di, iv, slots))
 
@@ -694,18 +751,26 @@ class VectorIndex:
         if entries:
             if multi_device and len(entries) > 1:
                 # results live on different chips: merge the tiny per-entry
-                # [Q, W] arrays on host (they transfer in parallel)
-                top_s, top_d, top_v, top_slot = _merge_entries_host(entries, k)
+                # [Q, W] arrays on host; async-start every transfer first so
+                # the tunnel round-trips overlap instead of serializing
+                for e in entries:
+                    for a in e:
+                        try:
+                            a.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                top_s, top_d, vid_of, slot_of = _merge_entries_host(entries, k)
             else:
-                top_s, top_d, top_v, top_slot = _merge_entries(
-                    tuple(e[0] for e in entries), tuple(e[1] for e in entries),
-                    tuple(e[2] for e in entries), tuple(e[3] for e in entries),
-                    k=k,
+                packed = np.asarray(  # ONE device->host fetch for all four planes
+                    _merge_entries(
+                        tuple(e[0] for e in entries), tuple(e[1] for e in entries),
+                        tuple(e[2] for e in entries), tuple(e[3] for e in entries),
+                        k=k,
+                    )
                 )
-            top_s = np.asarray(top_s)
-            top_d = np.asarray(top_d)
-            vid_of = np.asarray(top_v)
-            slot_of = np.asarray(top_slot)
+                top_s, top_d = packed[0], packed[1]
+                vid_of = packed[2].view(np.int32)
+                slot_of = packed[3].view(np.int32)
 
             gid_of = np.full(slot_of.shape, -1, np.int64)
             for si, seg in enumerate(seg_list):
