@@ -123,3 +123,100 @@ def test_global_await_empty_drains_all_indices():
     c = gq.await_and_claim(timeout=1)
     c.complete()
     assert a.await_queue_empty(timeout=1)
+
+
+# ---------------------------------------------------------------------------
+# Durable queues (journaled through storage; reference: the FDB-backed
+# taskqueue persists every enqueue/claim/retry, SURVEY.md §5.3)
+# ---------------------------------------------------------------------------
+
+
+def test_durable_queue_survives_restart(storage):
+    from vectorsearch_tpu.core.tasks import DurableTaskQueue, CompactTask
+
+    q1 = DurableTaskQueue("q", storage, "idx", "maint")
+    q1.enqueue_if_not_exists("compact:[1, 2]", CompactTask((1, 2)))
+    q1.close()
+
+    q2 = DurableTaskQueue("q", storage, "idx", "maint")
+    # idempotence across restart: same key suppressed
+    assert not q2.enqueue_if_not_exists("compact:[1, 2]", CompactTask((1, 2)))
+    c = q2.await_and_claim(timeout=1)
+    assert c.payload == CompactTask((1, 2))
+    c.complete()
+    # completion journaled: a third instance sees an empty queue
+    q3 = DurableTaskQueue("q", storage, "idx", "maint")
+    assert not q3.has_visible_unclaimed_tasks()
+
+
+def test_durable_queue_claimed_at_crash_is_requeued(storage):
+    from vectorsearch_tpu.core.tasks import DurableTaskQueue
+
+    q1 = DurableTaskQueue("q", storage, "idx", "build")
+    q1.enqueue_if_not_exists("build-segment:3", BuildTask(3))
+    claim = q1.await_and_claim(timeout=1)
+    assert claim is not None
+    # crash: no complete()/fail(); a new process restores it claimable
+    q2 = DurableTaskQueue("q", storage, "idx", "build")
+    c2 = q2.await_and_claim(timeout=1)
+    assert c2 is not None and c2.payload == BuildTask(3)
+    assert c2.attempts == 1  # dead worker's lease counted as one attempt
+
+
+def test_durable_queue_skips_sentinels(storage):
+    from vectorsearch_tpu.core.tasks import DurableTaskQueue
+
+    q1 = DurableTaskQueue("q", storage, "idx", "build")
+    q1.enqueue(BuildTask(-1))  # shutdown sentinel: process-local
+    q1.enqueue_if_not_exists("build-segment:7", BuildTask(7))
+    q2 = DurableTaskQueue("q", storage, "idx", "build")
+    c = q2.await_and_claim(timeout=1)
+    assert c.payload == BuildTask(7)
+    assert not q2.has_visible_unclaimed_tasks()
+
+
+def test_durable_queue_global_payloads_roundtrip(storage):
+    from vectorsearch_tpu.core.tasks import (
+        DurableTaskQueue, GlobalMaintenanceTask, VacuumTask,
+        task_payload_to_json, task_payload_from_json,
+    )
+
+    p = GlobalMaintenanceTask("idx/a", VacuumTask(4, 0.5))
+    assert task_payload_from_json(task_payload_to_json(p)) == p
+    q1 = DurableTaskQueue("g", storage, "_global", "maint")
+    q1.enqueue_if_not_exists("idx/a:vacuum-if-needed:4", p)
+    q2 = DurableTaskQueue("g", storage, "_global", "maint")
+    assert q2.await_and_claim(timeout=1).payload == p
+
+
+def test_index_durable_queues_e2e(storage, rng):
+    """Tasks enqueued before a crash are claimable after reopen, and the
+    reopen-time re-derivation does not duplicate them (same idempotent key)."""
+    import numpy as np
+    from vectorsearch_tpu.config import VectorIndexConfig
+    from vectorsearch_tpu.core.index import VectorIndex
+
+    cfg = dict(storage=storage, name="dur", dimension=8, max_segment_size=10,
+               pq_m=4, pq_k=16, graph_degree=8, graph_build_breadth=32,
+               durable_task_queues=True)
+    idx = VectorIndex.create_or_open(VectorIndexConfig(**cfg))
+    x = rng.normal(size=(25, 8)).astype(np.float32)
+    gids = idx.add_all(x)  # 2 rotations -> 2 build tasks pending
+    idx.close()
+
+    idx2 = VectorIndex.create_or_open(VectorIndexConfig(**cfg))
+    keys = set()
+    claims = []
+    while True:
+        c = idx2.build_queue.await_and_claim(timeout=0.2)
+        if c is None:
+            break
+        keys.add(c.key)
+        claims.append(c)
+    assert keys == {"build-segment:0", "build-segment:1"}  # no duplicates
+    for c in claims:
+        idx2.build_service.build(c.payload.seg_id)
+        c.complete()
+    res = idx2.query(x[3], 5)
+    assert gids[3] in [r.gid for r in res]
+    idx2.close()

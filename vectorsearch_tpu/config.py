@@ -224,6 +224,11 @@ class VectorIndexConfig:
     #   the same ADC distances (~22x QPS at >= recall on v5e; see
     #   core/index._sealed_query_step). graph: the reference's BEST_FIRST
     #   frontier expansion. BEAM mode / RANDOM_PIVOTS always traverse.
+    durable_task_queues: bool = False  # journal build/maintenance queues
+    #   through the storage backend so in-flight tasks (attempts, retry
+    #   throttles) survive restarts — the reference gets this from its
+    #   FDB-backed taskqueue (SURVEY.md §5.3). Off by default: reopen
+    #   already re-derives build tasks from persisted lifecycle state.
     device: Any = None  # jax.Device to place segment tensors on (None = default)
     device_placement: str = "default"  # "default" | "round_robin": spread
     #   segments across jax.devices() — the multi-chip scale-out axis (segments

@@ -409,14 +409,30 @@ class VectorIndex:
             self._owns_queues = False
         else:
             eff = config.effective
-            self.build_queue = TaskQueue(
-                f"{config.name}/tasks", default_ttl_s=eff.default_ttl_s,
-                default_throttle_s=eff.default_throttle_s,
-            )
-            self.maintenance_queue = TaskQueue(
-                f"{config.name}/tasks/maint", default_ttl_s=eff.default_ttl_s,
-                default_throttle_s=eff.default_throttle_s,
-            )
+            if config.durable_task_queues:
+                # Journaled queues: pending tasks / attempts / retry throttles
+                # survive restarts, like the reference's FDB-backed taskqueue.
+                from vectorsearch_tpu.core.tasks import DurableTaskQueue
+
+                self.build_queue = DurableTaskQueue(
+                    f"{config.name}/tasks", config.storage, config.name,
+                    "build", default_ttl_s=eff.default_ttl_s,
+                    default_throttle_s=eff.default_throttle_s,
+                )
+                self.maintenance_queue = DurableTaskQueue(
+                    f"{config.name}/tasks/maint", config.storage, config.name,
+                    "maint", default_ttl_s=eff.default_ttl_s,
+                    default_throttle_s=eff.default_throttle_s,
+                )
+            else:
+                self.build_queue = TaskQueue(
+                    f"{config.name}/tasks", default_ttl_s=eff.default_ttl_s,
+                    default_throttle_s=eff.default_throttle_s,
+                )
+                self.maintenance_queue = TaskQueue(
+                    f"{config.name}/tasks/maint", default_ttl_s=eff.default_ttl_s,
+                    default_throttle_s=eff.default_throttle_s,
+                )
             self._owns_queues = True
 
         self.store = VectorStore(config, self.build_queue)

@@ -64,6 +64,15 @@ class IndexStorage:
     def delete_index(self, name: str) -> None:
         raise NotImplementedError
 
+    # -- task-queue journal (durable queues; reference semantics: the FDB-
+    # backed taskqueue persists every enqueue/claim/retry, SURVEY.md §5.3) --
+
+    def read_queue(self, name: str, qname: str) -> Optional[dict]:
+        raise NotImplementedError
+
+    def write_queue(self, name: str, qname: str, state: dict) -> None:
+        raise NotImplementedError
+
 
 class MemoryStorage(IndexStorage):
     def __init__(self):
@@ -71,6 +80,7 @@ class MemoryStorage(IndexStorage):
         self._meta: Dict[str, dict] = {}
         self._state: Dict[str, dict] = {}
         self._segments: Dict[str, Dict[int, dict]] = {}
+        self._queues: Dict[str, Dict[str, dict]] = {}
 
     def list_indexes(self):
         with self._lock:
@@ -120,6 +130,16 @@ class MemoryStorage(IndexStorage):
             self._meta.pop(name, None)
             self._state.pop(name, None)
             self._segments.pop(name, None)
+            self._queues.pop(name, None)
+
+    def read_queue(self, name, qname):
+        with self._lock:
+            q = self._queues.get(name, {}).get(qname)
+            return json.loads(json.dumps(q)) if q is not None else None
+
+    def write_queue(self, name, qname, state):
+        with self._lock:
+            self._queues.setdefault(name, {})[qname] = json.loads(json.dumps(state))
 
 
 class DiskStorage(IndexStorage):
@@ -224,3 +244,16 @@ class DiskStorage(IndexStorage):
 
             if os.path.exists(self._idx(name)):
                 shutil.rmtree(self._idx(name))
+
+    def read_queue(self, name, qname):
+        with self._lock:
+            return self._read_json(
+                os.path.join(self._idx(name), f"queue_{qname}.json")
+            )
+
+    def write_queue(self, name, qname, state):
+        with self._lock:
+            os.makedirs(self._idx(name), exist_ok=True)
+            self._write_json(
+                os.path.join(self._idx(name), f"queue_{qname}.json"), state
+            )

@@ -121,7 +121,7 @@ class TaskQueue:
         self.default_ttl_s = default_ttl_s
         self.default_throttle_s = default_throttle_s
         self._clock = clock
-        self._cond = threading.Condition()
+        self._cond = threading.Condition(threading.RLock())
         self._pending: list[_Task] = []
         self._keys: set[str] = set()  # keys pending or claimed (for idempotence)
         self._claimed: Dict[str, tuple[_Task, float]] = {}  # claim_id -> (task, deadline)
@@ -232,6 +232,136 @@ class TaskQueue:
         with self._cond:
             self._closed = True
             self._cond.notify_all()
+
+
+# ---------------------------------------------------------------------------
+# Payload (de)serialization (the analogue of tasks/ProtoSerializers.java:15-119)
+# ---------------------------------------------------------------------------
+
+_TASK_TYPES = {
+    "build": BuildTask,
+    "vacuum": VacuumTask,
+    "compact": CompactTask,
+    "find_candidates": FindCompactionCandidatesTask,
+}
+
+
+def task_payload_to_json(payload: Any) -> dict:
+    """Serializes any task payload to a JSON-safe dict."""
+    if isinstance(payload, GlobalBuildTask):
+        return {"t": "global_build", "index_path": payload.index_path,
+                "task": task_payload_to_json(payload.task)}
+    if isinstance(payload, GlobalMaintenanceTask):
+        return {"t": "global_maint", "index_path": payload.index_path,
+                "task": task_payload_to_json(payload.task)}
+    for tag, cls in _TASK_TYPES.items():
+        if isinstance(payload, cls):
+            d = dataclasses.asdict(payload)
+            if "seg_ids" in d:
+                d["seg_ids"] = list(d["seg_ids"])
+            return {"t": tag, **d}
+    raise ValueError(f"unserializable task payload: {payload!r}")
+
+
+def task_payload_from_json(d: dict) -> Any:
+    t = d.get("t")
+    if t == "global_build":
+        return GlobalBuildTask(d["index_path"], task_payload_from_json(d["task"]))
+    if t == "global_maint":
+        return GlobalMaintenanceTask(d["index_path"], task_payload_from_json(d["task"]))
+    cls = _TASK_TYPES.get(t)
+    if cls is None:
+        raise ValueError(f"unknown task tag: {t!r}")
+    kw = {k: v for k, v in d.items() if k != "t"}
+    if "seg_ids" in kw:
+        kw["seg_ids"] = tuple(kw["seg_ids"])
+    return cls(**kw)
+
+
+class DurableTaskQueue(TaskQueue):
+    """TaskQueue journaled through IndexStorage — the analogue of the
+    reference's FDB-backed taskqueue (SURVEY.md §5.3): pending tasks,
+    attempt counts, and retry throttles survive process restarts; tasks that
+    were CLAIMED at crash time are restored as claimable with attempts+1
+    (the dead worker's lease is treated as expired).
+
+    The journal is a small JSON blob rewritten on every mutation — task
+    rates are background-level (builds, vacuums, compactions), not hot-path.
+    Shutdown sentinels (random-key `enqueue`) are intentionally NOT
+    journaled: they are addressed to live worker threads of this process.
+    """
+
+    def __init__(self, name: str, storage, index_name: str, qname: str, **kw):
+        super().__init__(name, **kw)
+        self._storage = storage
+        self._index_name = index_name
+        self._qname = qname
+        self._ephemeral: set[str] = set()  # keys from enqueue(): process-local
+        state = storage.read_queue(index_name, qname)
+        if state:
+            now = self._clock()
+            for rec in state.get("tasks", []):
+                task = _Task(
+                    key=rec["key"],
+                    payload=task_payload_from_json(rec["payload"]),
+                    attempts=rec.get("attempts", 0) + (1 if rec.get("claimed") else 0),
+                    visible_at=now + max(0.0, rec.get("visible_in", 0.0)),
+                )
+                self._pending.append(task)
+                self._keys.add(task.key)
+
+    def _journal_locked(self) -> None:
+        now = self._clock()
+        tasks = []
+        for t, claimed in (
+            [(t, False) for t in self._pending]
+            + [(t, True) for t, _dl in self._claimed.values()]
+        ):
+            if t.key in self._ephemeral:
+                continue  # shutdown sentinels are process-local; don't journal
+            try:
+                pj = task_payload_to_json(t.payload)
+            except ValueError:
+                continue
+            tasks.append({
+                "key": t.key, "payload": pj, "attempts": t.attempts,
+                "visible_in": max(0.0, t.visible_at - now) if not claimed else 0.0,
+                "claimed": claimed,
+            })
+        self._storage.write_queue(self._index_name, self._qname, {"tasks": tasks})
+
+    def enqueue_if_not_exists(self, key: str, payload: Any) -> bool:
+        with self._cond:
+            if key in self._keys:
+                return False
+            self._keys.add(key)
+            self._pending.append(_Task(key=key, payload=payload))
+            self._journal_locked()
+            self._cond.notify()
+            return True
+
+    def enqueue(self, payload: Any) -> str:
+        # one lock scope: the ephemeral mark must land before any concurrent
+        # claimant journals the queue
+        key = f"{self.name}:{uuid.uuid4()}"
+        with self._cond:
+            self._ephemeral.add(key)
+            self._keys.add(key)
+            self._pending.append(_Task(key=key, payload=payload))
+            self._cond.notify()
+        return key
+
+    def await_and_claim(self, timeout=None, ttl_s=None):
+        claim = super().await_and_claim(timeout=timeout, ttl_s=ttl_s)
+        if claim is not None:
+            with self._cond:
+                self._journal_locked()
+        return claim
+
+    def _finish(self, claim_id: str, requeue: bool) -> None:
+        with self._cond:
+            super()._finish(claim_id, requeue)
+            self._journal_locked()
 
 
 # ---------------------------------------------------------------------------
