@@ -365,10 +365,16 @@ def _merge_entries(scores_t, dists_t, vids_t, slots_t, k):
     """Cross-segment merge of all result groups in one program
     (the reference's score merge, fdb/FdbVectorIndex.java:432-469).
 
-    Returns ONE packed f32[4, Q, kk] array (int planes bitcast to f32) so the
-    host needs a single device->host fetch: each blocking fetch costs a full
-    dispatch round-trip (~36 ms through the axon tunnel — measured 146 ms of
-    a 191 ms query batch spent in four sequential np.asarray calls)."""
+    Returns ONE packed f32[4, Q, kk] array so the host needs a single
+    device->host fetch: each blocking fetch costs a full dispatch round-trip
+    (~36 ms through the axon tunnel — measured 146 ms of a 191 ms query
+    batch spent in four sequential np.asarray calls).
+
+    Int planes are VALUE-cast to f32, NOT bitcast: small int32 bit patterns
+    are f32 denormals and the TPU flushes denormals to zero inside some
+    fusions (shape-dependent — bitcast survived at Q=16 and zeroed every vid
+    at Q=128). Value casting is exact for |v| < 2^24; the caller guards the
+    row-id range and falls back to separate fetches beyond it."""
     scores = jnp.concatenate(scores_t, axis=1)
     dists = jnp.concatenate(dists_t, axis=1)
     vids = jnp.concatenate(vids_t, axis=1)
@@ -379,12 +385,8 @@ def _merge_entries(scores_t, dists_t, vids_t, slots_t, k):
         [
             top_s,
             jnp.take_along_axis(dists, pos, axis=1),
-            jax.lax.bitcast_convert_type(
-                jnp.take_along_axis(vids, pos, axis=1), jnp.float32
-            ),
-            jax.lax.bitcast_convert_type(
-                jnp.take_along_axis(slots, pos, axis=1), jnp.float32
-            ),
+            jnp.take_along_axis(vids, pos, axis=1).astype(jnp.float32),
+            jnp.take_along_axis(slots, pos, axis=1).astype(jnp.float32),
         ]
     )
 
@@ -776,8 +778,12 @@ class VectorIndex:
                         except AttributeError:
                             pass
                 top_s, top_d, vid_of, slot_of = _merge_entries_host(entries, k)
-            else:
-                packed = np.asarray(  # ONE device->host fetch for all four planes
+            elif max(s.cap_pad for s in seg_list) < (1 << 24) and len(
+                seg_list
+            ) < (1 << 24):
+                # ONE device->host fetch for all four planes (f32 value-cast
+                # of the int planes is exact below 2^24 — see _merge_entries)
+                packed = np.asarray(
                     _merge_entries(
                         tuple(e[0] for e in entries), tuple(e[1] for e in entries),
                         tuple(e[2] for e in entries), tuple(e[3] for e in entries),
@@ -785,8 +791,10 @@ class VectorIndex:
                     )
                 )
                 top_s, top_d = packed[0], packed[1]
-                vid_of = packed[2].view(np.int32)
-                slot_of = packed[3].view(np.int32)
+                vid_of = packed[2].astype(np.int32)
+                slot_of = packed[3].astype(np.int32)
+            else:
+                top_s, top_d, vid_of, slot_of = _merge_entries_host(entries, k)
 
             gid_of = np.full(slot_of.shape, -1, np.int64)
             for si, seg in enumerate(seg_list):
