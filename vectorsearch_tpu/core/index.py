@@ -489,6 +489,11 @@ class VectorIndex:
         """Full durability flush (segments + control state)."""
         self.store.checkpoint_all()
 
+    def refresh(self) -> list[int]:
+        """Reloads segments whose builds completed in ANOTHER process
+        (shared-storage global workers); returns refreshed segment ids."""
+        return self.store.refresh()
+
     # ---------------------------------------------------------------- ingest
 
     def add(self, embedding, payload: Optional[bytes] = None) -> int:

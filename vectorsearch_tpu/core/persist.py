@@ -73,6 +73,12 @@ class IndexStorage:
     def write_queue(self, name: str, qname: str, state: dict) -> None:
         raise NotImplementedError
 
+    def queue_lock(self, name: str, qname: str):
+        """Context manager serializing queue read-modify-write cycles across
+        ALL participants (threads here, processes for DiskStorage) — the
+        analogue of an FDB transaction over the queue subspace."""
+        raise NotImplementedError
+
 
 class MemoryStorage(IndexStorage):
     def __init__(self):
@@ -140,6 +146,12 @@ class MemoryStorage(IndexStorage):
     def write_queue(self, name, qname, state):
         with self._lock:
             self._queues.setdefault(name, {})[qname] = json.loads(json.dumps(state))
+
+    def queue_lock(self, name, qname):
+        with self._lock:
+            if not hasattr(self, "_qlocks"):
+                self._qlocks = {}
+            return self._qlocks.setdefault((name, qname), threading.RLock())
 
 
 class DiskStorage(IndexStorage):
@@ -257,3 +269,33 @@ class DiskStorage(IndexStorage):
             self._write_json(
                 os.path.join(self._idx(name), f"queue_{qname}.json"), state
             )
+
+    def queue_lock(self, name, qname):
+        return _FileLock(
+            os.path.join(self._idx(name), f"queue_{qname}.lock")
+        )
+
+
+class _FileLock:
+    """Reentrant-enough cross-process lock: fcntl.flock on a lock file.
+    One instance per acquisition (DiskStorage.queue_lock returns a fresh
+    one each time), so nesting in a single thread is the caller's concern."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        self._fh = open(self._path, "a+")
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
+        self._fh.close()
+        self._fh = None

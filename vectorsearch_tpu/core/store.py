@@ -164,6 +164,45 @@ class VectorStore:
                 self.checkpoint_segment(sid)
             self.checkpoint_state()
 
+    # --------------------------------------------------------------- refresh
+
+    def refresh(self) -> list[int]:
+        """Picks up builds completed by ANOTHER process (e.g. a
+        GlobalWorkerRunner over shared storage + SharedTaskQueue): any local
+        PENDING/WRITING segment that persisted state shows SEALED is reloaded
+        with its artifacts. Returns the refreshed segment ids.
+
+        Scope: build pickup only. Row data and gids are unchanged by a build,
+        so the local gid map stays valid. Cross-process vacuum/compaction
+        would rewrite gid mappings and needs a coordinator (ROADMAP)."""
+        state = self.storage.read_state(self.name)
+        if state is None:
+            return []
+        changed: list[int] = []
+        with self.lock:
+            for sid_str, meta_json in state.get("segment_metas", {}).items():
+                sid = int(sid_str)
+                if sid == self.current_segment:
+                    continue  # we own the ACTIVE segment's unpersisted rows
+                local = self.segments.get(sid)
+                if local is None or local.state not in (
+                    SegmentState.PENDING, SegmentState.WRITING
+                ):
+                    continue
+                meta = SegmentMeta.from_json(meta_json)
+                if meta.state != SegmentState.SEALED:
+                    continue
+                rec = self.storage.read_segment(self.name, sid)
+                if rec is None or "codes" not in rec["arrays"]:
+                    continue
+                self.segments[sid] = Segment.from_arrays(
+                    meta, self.config.max_segment_size, self.config.dimension,
+                    rec, device=self._segment_device(sid),
+                )
+                changed.append(sid)
+                LOG.debug("refreshed segment %d from storage (SEALED)", sid)
+        return changed
+
     # ---------------------------------------------------------------- ingest
 
     def add_batch(self, embeddings: np.ndarray, payloads: Optional[list]) -> list[int]:

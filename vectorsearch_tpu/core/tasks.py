@@ -364,6 +364,158 @@ class DurableTaskQueue(TaskQueue):
             self._journal_locked()
 
 
+class _SharedClaim:
+    """Claim handle for SharedTaskQueue (same interface as Claim)."""
+
+    def __init__(self, queue: "SharedTaskQueue", key: str, payload: Any,
+                 attempts: int, claim_id: str):
+        self._queue = queue
+        self.key = key
+        self.payload = payload
+        self.attempts = attempts
+        self._claim_id = claim_id
+
+    def complete(self) -> None:
+        self._queue._finish_shared(self._claim_id, requeue=False)
+
+    def fail(self) -> None:
+        self._queue._finish_shared(self._claim_id, requeue=True)
+
+
+class SharedTaskQueue:
+    """CROSS-PROCESS task queue over shared storage — the closest analogue of
+    the reference's FDB-backed taskqueue (SURVEY.md §5.3): every operation is
+    a read-modify-write of the storage journal under `storage.queue_lock`
+    (fcntl.flock for DiskStorage), so any number of producer and worker
+    PROCESSES can share one queue. Leases use wall-clock time (the shared
+    clock across processes); expired leases make tasks re-claimable with
+    attempts+1. Claims poll at 50 ms — task rates are background-level.
+
+    Shutdown sentinels (random-key `enqueue`) stay process-local: they are
+    addressed to THIS process's worker threads, never to other processes.
+    """
+
+    def __init__(self, name: str, storage, index_name: str, qname: str,
+                 default_ttl_s: float = 300.0, default_throttle_s: float = 1.0):
+        self.name = name
+        self._storage = storage
+        self._index_name = index_name
+        self._qname = qname
+        self.default_ttl_s = default_ttl_s
+        self.default_throttle_s = default_throttle_s
+        self._local = TaskQueue(f"{name}/local")  # sentinels only
+        self._closed = False
+
+    # -- journal helpers (call under storage.queue_lock) ---------------------
+
+    def _read(self) -> list[dict]:
+        state = self._storage.read_queue(self._index_name, self._qname)
+        return list(state.get("tasks", [])) if state else []
+
+    def _write(self, tasks: list[dict]) -> None:
+        self._storage.write_queue(self._index_name, self._qname, {"tasks": tasks})
+
+    @staticmethod
+    def _claimable(rec: dict, now: float) -> bool:
+        if rec.get("visible_at", 0.0) > now:
+            return False
+        return rec.get("lease_deadline", 0.0) <= now  # unclaimed or expired
+
+    # -- producer -------------------------------------------------------------
+
+    def enqueue_if_not_exists(self, key: str, payload: Any) -> bool:
+        with self._storage.queue_lock(self._index_name, self._qname):
+            tasks = self._read()
+            if any(r["key"] == key for r in tasks):
+                return False
+            tasks.append({
+                "key": key, "payload": task_payload_to_json(payload),
+                "attempts": 0, "visible_at": 0.0, "lease_deadline": 0.0,
+                "claim_id": None,
+            })
+            self._write(tasks)
+            return True
+
+    def enqueue(self, payload: Any) -> str:
+        return self._local.enqueue(payload)  # sentinels: process-local
+
+    # -- consumer -------------------------------------------------------------
+
+    def await_and_claim(self, timeout: Optional[float] = None,
+                        ttl_s: Optional[float] = None) -> Optional[Any]:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        lease = ttl_s if ttl_s is not None else self.default_ttl_s
+        while True:
+            local = self._local.await_and_claim(timeout=0)
+            if local is not None:
+                return local
+            with self._storage.queue_lock(self._index_name, self._qname):
+                tasks = self._read()
+                now = time.time()
+                for rec in tasks:
+                    if self._claimable(rec, now):
+                        if rec.get("lease_deadline", 0.0) > 0.0:
+                            rec["attempts"] = rec.get("attempts", 0) + 1
+                        cid = str(uuid.uuid4())
+                        rec["claim_id"] = cid
+                        rec["lease_deadline"] = now + lease
+                        self._write(tasks)
+                        return _SharedClaim(
+                            self, rec["key"],
+                            task_payload_from_json(rec["payload"]),
+                            rec["attempts"], cid,
+                        )
+            if self._closed:
+                return None
+            if deadline is not None and time.monotonic() >= deadline:
+                return None
+            time.sleep(0.05)
+
+    def _finish_shared(self, claim_id: str, requeue: bool) -> None:
+        with self._storage.queue_lock(self._index_name, self._qname):
+            tasks = self._read()
+            out = []
+            now = time.time()
+            for rec in tasks:
+                if rec.get("claim_id") == claim_id:
+                    if requeue:
+                        rec["attempts"] = rec.get("attempts", 0) + 1
+                        rec["visible_at"] = now + self.default_throttle_s
+                        rec["lease_deadline"] = 0.0
+                        rec["claim_id"] = None
+                        out.append(rec)
+                    # else: completed — drop
+                else:
+                    out.append(rec)
+            self._write(out)
+
+    # -- inspection -----------------------------------------------------------
+
+    def has_visible_unclaimed_tasks(self) -> bool:
+        with self._storage.queue_lock(self._index_name, self._qname):
+            now = time.time()
+            return any(self._claimable(r, now) for r in self._read())
+
+    def has_claimed_tasks(self) -> bool:
+        with self._storage.queue_lock(self._index_name, self._qname):
+            now = time.time()
+            return any(r.get("lease_deadline", 0.0) > now for r in self._read())
+
+    def await_queue_empty(self, timeout: Optional[float] = None) -> bool:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._storage.queue_lock(self._index_name, self._qname):
+                if not self._read():
+                    return True
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            time.sleep(0.05)
+
+    def close(self) -> None:
+        self._closed = True
+        self._local.close()
+
+
 # ---------------------------------------------------------------------------
 # Queue adapters for global (cross-index) routing
 # (reference: tasks/GlobalBuildQueueAdapter.java:31-131,
