@@ -115,3 +115,21 @@ def test_query_batcher_separates_k(storage, rng):
     assert len(f2.result(timeout=60)) == 5
     b.close()
     idx.close()
+
+
+def test_otel_bridge_and_spans(storage, rng):
+    """The registry mirrors to the global OTel meter and the four reference
+    spans exist (no-op without an SDK — reference README.md:94-96); span()
+    records exceptions and re-raises."""
+    from vectorsearch_tpu.utils import metrics as M
+
+    # span: plain passage and exception passage
+    with M.span("vectorsearch.query", {"a": "b"}):
+        pass
+    with pytest.raises(ValueError):
+        with M.span("vectorsearch.build"):
+            raise ValueError("boom")
+
+    # mirroring path exercises otel instrument creation (no SDK: no-op)
+    M.get_registry().inc("vectorsearch.query.count", attrs={"x": "y"})
+    M.get_registry().record("vectorsearch.query.duration_ms", 1.5)

@@ -33,6 +33,7 @@ from vectorsearch_tpu.ops import graph as graph_ops
 from vectorsearch_tpu.ops import pq as pq_ops
 from vectorsearch_tpu.types import SegmentState
 from vectorsearch_tpu.utils.metrics import get_registry
+from vectorsearch_tpu.utils.metrics import span as metrics_span
 
 LOG = logging.getLogger("vectorsearch_tpu.build")
 
@@ -63,8 +64,10 @@ class SegmentBuildService:
             seg = self.store.segments.get(seg_id)
             device = seg.device if seg is not None else None
         try:
-            with SegmentBuildService._compute_lock_for(device):
-                self._build_inner(seg_id)
+            # OTel span parity: vectorsearch.build (SegmentBuildService.java:75)
+            with metrics_span("vectorsearch.build", {"segment": seg_id}):
+                with SegmentBuildService._compute_lock_for(device):
+                    self._build_inner(seg_id)
             metrics.inc("vectorsearch.build.count")
         finally:
             metrics.record(

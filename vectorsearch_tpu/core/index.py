@@ -57,6 +57,7 @@ from vectorsearch_tpu.params import Mode, SearchParams, SeedStrategy
 from vectorsearch_tpu.results import SearchResult
 from vectorsearch_tpu.types import BRUTE_FORCE_STATES, GRAPH_STATES
 from vectorsearch_tpu.utils.metrics import get_registry
+from vectorsearch_tpu.utils.metrics import span as metrics_span
 
 LOG = logging.getLogger("vectorsearch_tpu.index")
 
@@ -555,9 +556,13 @@ class VectorIndex:
         )
 
     def dispatch_maintenance(self, task) -> None:
-        """Maintenance task dispatcher (reference: tasks/MaintenanceWorker.java:62-95)."""
+        """Maintenance task dispatcher (reference: tasks/MaintenanceWorker.java:62-95).
+
+        Spans mirror the reference's vectorsearch.vacuum / .compaction
+        (tasks/MaintenanceWorker.java:67-105)."""
         if isinstance(task, VacuumTask):
-            self.maintenance.vacuum_segment(task.seg_id, task.min_deleted_ratio)
+            with metrics_span("vectorsearch.vacuum", {"segment": task.seg_id}):
+                self.maintenance.vacuum_segment(task.seg_id, task.min_deleted_ratio)
         elif isinstance(task, FindCompactionCandidatesTask):
             max_cc = self.config.effective.max_concurrent_compactions
             if max_cc <= 0:
@@ -571,7 +576,10 @@ class VectorIndex:
                 return
             self.request_compaction(ids)
         elif isinstance(task, CompactTask):
-            self.maintenance.compact_segments(list(task.seg_ids))
+            with metrics_span(
+                "vectorsearch.compaction", {"segments": str(list(task.seg_ids))}
+            ):
+                self.maintenance.compact_segments(list(task.seg_ids))
         else:
             raise ValueError(f"unknown maintenance task: {task!r}")
 
@@ -595,6 +603,13 @@ class VectorIndex:
         return self.query_batch(np.asarray(q, np.float32)[None, :], k, params)[0]
 
     def query_batch(
+        self, qs, k: int, params: Optional[SearchParams] = None
+    ) -> list[list[SearchResult]]:
+        # OTel span parity: vectorsearch.query (fdb/FdbVectorIndex.java:359)
+        with metrics_span("vectorsearch.query"):
+            return self._query_batch(qs, k, params)
+
+    def _query_batch(
         self, qs, k: int, params: Optional[SearchParams] = None
     ) -> list[list[SearchResult]]:
         t0 = time.monotonic()

@@ -21,6 +21,7 @@ Instruments (reference names):
 
 from __future__ import annotations
 
+import contextlib
 import threading
 from collections import defaultdict
 from typing import Dict, Tuple
@@ -30,8 +31,74 @@ def _key(name: str, attrs: dict | None) -> Tuple[str, tuple]:
     return name, tuple(sorted((attrs or {}).items()))
 
 
+class _OtelBridge:
+    """Mirrors instruments to the global OpenTelemetry meter/tracer when the
+    opentelemetry API is importable (reference: util/Metrics.java uses
+    GlobalOpenTelemetry — a no-op unless the app installs an SDK,
+    README.md:94-96). Instruments are created lazily per name."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: dict = {}
+        self._histograms: dict = {}
+        try:
+            from opentelemetry import metrics as _om
+            from opentelemetry import trace as _ot
+
+            self._meter = _om.get_meter("vectorsearch_tpu")
+            self.tracer = _ot.get_tracer("vectorsearch_tpu")
+        except Exception:  # opentelemetry not installed: stay silent
+            self._meter = None
+            self.tracer = None
+
+    def add(self, name: str, value: float, attrs: dict | None) -> None:
+        if self._meter is None:
+            return
+        with self._lock:
+            c = self._counters.get(name)
+            if c is None:
+                c = self._counters[name] = self._meter.create_counter(name)
+        c.add(value, attributes=attrs or {})
+
+    def record(self, name: str, value: float, attrs: dict | None) -> None:
+        if self._meter is None:
+            return
+        with self._lock:
+            h = self._histograms.get(name)
+            if h is None:
+                h = self._histograms[name] = self._meter.create_histogram(name)
+        h.record(value, attributes=attrs or {})
+
+
+_OTEL = _OtelBridge()
+
+
+@contextlib.contextmanager
+def span(name: str, attrs: dict | None = None):
+    """Tracing span mirroring the reference's OTel spans (vectorsearch.query /
+    build / vacuum / compaction; exceptions recorded + ERROR status). No-op
+    without an installed OTel SDK."""
+    if _OTEL.tracer is None:
+        yield None
+        return
+    with _OTEL.tracer.start_as_current_span(name) as sp:
+        for k, v in (attrs or {}).items():
+            sp.set_attribute(k, v)
+        try:
+            yield sp
+        except Exception as e:
+            try:
+                from opentelemetry.trace import StatusCode
+
+                sp.record_exception(e)
+                sp.set_status(StatusCode.ERROR)
+            except Exception:
+                pass
+            raise
+
+
 class MetricsRegistry:
-    """Thread-safe in-process metrics sink."""
+    """Thread-safe in-process metrics sink (mirrored to OTel when available)."""
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -41,10 +108,12 @@ class MetricsRegistry:
     def inc(self, name: str, value: float = 1.0, attrs: dict | None = None) -> None:
         with self._lock:
             self._counters[_key(name, attrs)] += value
+        _OTEL.add(name, value, attrs)
 
     def record(self, name: str, value: float, attrs: dict | None = None) -> None:
         with self._lock:
             self._histograms[_key(name, attrs)].append(value)
+        _OTEL.record(name, value, attrs)
 
     def counter_value(self, name: str, attrs: dict | None = None) -> float:
         with self._lock:
