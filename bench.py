@@ -47,7 +47,7 @@ def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
     return idx, gids
 
 
-def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=4):
+def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8):
     """Serving throughput: `in_flight` concurrent clients keep the chip busy
     (device compute serializes; host merge and device->host fetch round-trips
     overlap — a single synchronous client measures tunnel latency, not chip

@@ -166,6 +166,29 @@ def test_beam_mode_uses_graph_even_in_flat_config(storage, rng):
     idx.close()
 
 
+def test_query_batch_arrays_matches_object_api(storage, rng):
+    """query_batch_arrays (the zero-object serving API) returns the same
+    gids/scores as query_batch, with -1/-inf/inf padding for empty slots."""
+    idx = make_index(storage, max_segment_size=60)
+    x = gaussian(rng, 100)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    obj = idx.query_batch(x[:20], 5)
+    ga, sa, da = idx.query_batch_arrays(x[:20], 5)
+    assert ga.shape == (20, 5) and sa.shape == (20, 5) and da.shape == (20, 5)
+    for i in range(20):
+        got = [int(g) for g in ga[i] if g >= 0]
+        assert got == [r.gid for r in obj[i]]
+        assert sa[i][0] == pytest.approx(obj[i][0].score, abs=1e-5)
+        assert da[i][0] == pytest.approx(obj[i][0].distance, abs=1e-5)
+    # empty index: fully padded
+    idx2 = make_index(storage, name="empty-arrays")
+    ga, sa, da = idx2.query_batch_arrays(x[:3], 4)
+    assert (ga == -1).all() and (sa == -np.inf).all() and (da == np.inf).all()
+    idx2.close()
+    idx.close()
+
+
 def test_query_merges_brute_force_and_sealed(storage, rng):
     idx = make_index(storage, max_segment_size=50)
     x = gaussian(rng, 80)  # seg0 sealed-able (50), seg1 ACTIVE (30)

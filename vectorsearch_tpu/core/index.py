@@ -609,9 +609,20 @@ class VectorIndex:
         with metrics_span("vectorsearch.query"):
             return self._query_batch(qs, k, params)
 
-    def _query_batch(
+    def query_batch_arrays(
         self, qs, k: int, params: Optional[SearchParams] = None
-    ) -> list[list[SearchResult]]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """TPU-native batch API: returns (gids i64[Q, k], scores f32[Q, k],
+        distances f32[Q, k]); empty slots carry gid=-1 / -inf / inf. Skips
+        per-result Python object construction entirely — serving stacks that
+        only need ids and scores avoid the GIL-bound SearchResult loop."""
+        with metrics_span("vectorsearch.query"):
+            return self._query_batch(qs, k, params, as_arrays=True)
+
+    def _query_batch(
+        self, qs, k: int, params: Optional[SearchParams] = None,
+        as_arrays: bool = False,
+    ):
         t0 = time.monotonic()
         qs = np.asarray(qs, np.float32)
         if qs.ndim != 2 or qs.shape[1] != self.config.dimension:
@@ -823,22 +834,46 @@ class VectorIndex:
                     gid_of[mask] = seg.gids_np[vid_of[mask]]
 
             valid = (slot_of >= 0) & (vid_of >= 0) & (gid_of >= 0) & np.isfinite(top_s)
-            kk = top_s.shape[1]
+            if as_arrays:
+                kk = top_s.shape[1]
+                gids_a = np.full((nq, k), -1, np.int64)
+                scores_a = np.full((nq, k), -np.inf, np.float32)
+                dists_a = np.full((nq, k), np.inf, np.float32)
+                take = min(k, kk)
+                gids_a[:, :take] = np.where(valid, gid_of, -1)[:, :take]
+                scores_a[:, :take] = np.where(valid, top_s, -np.inf)[:, :take]
+                dists_a[:, :take] = np.where(valid, top_d, np.inf)[:, :take]
+                dur_ms = (time.monotonic() - t0) * 1000.0
+                self._metrics.inc("vectorsearch.query.count", nq)
+                self._metrics.record("vectorsearch.query.duration_ms", dur_ms)
+                self._metrics.record(
+                    "vectorsearch.query.segments_searched",
+                    len(brute_segs) + len(sealed_segs),
+                )
+                self._metrics.record(
+                    "vectorsearch.query.results_returned",
+                    float(np.mean(np.sum(gids_a >= 0, axis=1))),
+                )
+                return gids_a, scores_a, dists_a
+            # Result building is GIL-bound Python (nq*k objects per batch):
+            # .tolist() converts once at C speed (np scalar boxing in a
+            # per-element loop measured ~21 ms/batch at Q=512 — the
+            # throughput ceiling), and SearchResult is a NamedTuple.
+            valid_l = valid.tolist()
+            gid_l = gid_of.tolist()
+            s_l = top_s.tolist()
+            d_l = top_d.tolist()
+            slot_l = slot_of.tolist()
+            vid_l = vid_of.tolist()
             for qi in range(nq):
-                out = []
-                for j in range(kk):
-                    if not valid[qi, j]:
-                        continue
-                    seg = seg_list[slot_of[qi, j]]
-                    out.append(
-                        SearchResult(
-                            gid=int(gid_of[qi, j]),
-                            score=float(top_s[qi, j]),
-                            distance=float(top_d[qi, j]),
-                            payload=seg.payloads[vid_of[qi, j]],
-                        )
+                results[qi] = [
+                    SearchResult(g, s, dd, seg_list[sl].payloads[vv])
+                    for ok, g, s, dd, sl, vv in zip(
+                        valid_l[qi], gid_l[qi], s_l[qi], d_l[qi],
+                        slot_l[qi], vid_l[qi],
                     )
-                results[qi] = out
+                    if ok
+                ]
 
         dur_ms = (time.monotonic() - t0) * 1000.0
         self._metrics.inc("vectorsearch.query.count", nq)
@@ -850,6 +885,12 @@ class VectorIndex:
             "vectorsearch.query.results_returned",
             float(np.mean([len(r) for r in results])) if results else 0.0,
         )
+        if as_arrays:  # no entries: nothing searchable
+            return (
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), -np.inf, np.float32),
+                np.full((nq, k), np.inf, np.float32),
+            )
         return results
 
     # -- auto-tune (verbatim formulas, reference :772-784) --------------------

@@ -6,12 +6,14 @@ Score is higher-is-better: L2 -> -distance; cosine -> similarity
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 
-@dataclasses.dataclass(frozen=True)
-class SearchResult:
+class SearchResult(NamedTuple):
+    """NamedTuple (not a dataclass) on purpose: query_batch builds tens of
+    thousands of these per batch under the GIL — C-level tuple construction
+    is ~5x cheaper and was a measurable share of query throughput."""
+
     gid: int
     score: float
     distance: float
