@@ -143,7 +143,7 @@ def bench_sift1m():
         truth = set(np.argsort(np.linalg.norm(x - q[i], axis=1))[:k].tolist())
         hits += len(truth & {s.gid for s in r})
     recall = hits / (128 * k)
-    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=128, params=params)
+    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=512, params=params)
     idx.close()
     return {
         "metric": f"sift1m_qps_per_chip_k10_recall{recall:.2f}_build{build_s:.0f}s",
