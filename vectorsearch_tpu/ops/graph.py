@@ -59,10 +59,12 @@ def _knn_block(
     col = jax.lax.broadcasted_iota(jnp.int32, (block_ids.shape[0], n), 1)
     mask = valid[None, :] & (col != block_ids[:, None])  # exclude self
     d2 = jnp.where(mask, d2, INF)
-    # approx_max_k: TPU-native partial top-k (recall 0.99) — a full lax.top_k
-    # over N=100k columns is a per-row sort and dominates the build otherwise.
-    # Candidate generation tolerates 1% misses; the pruning passes follow.
-    neg_top, idx = jax.lax.approx_max_k(-d2, l, recall_target=0.99)
+    # approx_max_k: TPU-native partial top-k — a full lax.top_k over N=100k
+    # columns is a per-row sort and dominates the build otherwise. Candidate
+    # generation tolerates misses (RobustPrune + reverse-edge merge follow,
+    # and both recall gates hold): rt=.95 is 4x faster than rt=.99 (260 ms
+    # vs 1080 ms per 100k segment).
+    neg_top, idx = jax.lax.approx_max_k(-d2, l, recall_target=0.95)
     top_d2 = -neg_top
     idx = jnp.where(jnp.isfinite(top_d2), idx, -1)
     # approx_max_k returns unsorted-by-guarantee results; sort the l winners
@@ -77,7 +79,7 @@ def knn_candidates(
     vectors: jax.Array,
     valid: jax.Array,
     l: int,
-    row_block: int = 1024,
+    row_block: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-l neighbor candidates for every row (self excluded), blocked
     over rows to bound the [B, N] distance matrix.
@@ -182,7 +184,10 @@ def _merge_reverse_edges_host(
     dst = adj.reshape(-1)
     ok = dst >= 0
     src, dst = src[ok], dst[ok]
-    order = np.argsort(dst, kind="stable")
+    # default introsort: ~2x faster than stable at 3M edges, and the order
+    # within a destination group only selects WHICH rev_cap proposals win —
+    # any subset is valid
+    order = np.argsort(dst)
     dst_s, src_s = dst[order], src[order]
     # rank of each edge within its destination group
     first = np.ones(len(dst_s), bool)
@@ -208,7 +213,7 @@ def build_graph(
     degree: int,
     l_build: int,
     alpha: float,
-    row_block: int = 1024,
+    row_block: int = 2048,
 ) -> jax.Array:
     """Full batch graph build -> adjacency i32[N, degree] (-1 padded).
 
