@@ -175,12 +175,126 @@ def bench_ref():
     }
 
 
+def bench_churn():
+    """Sustained serving under churn: queries run continuously while writers
+    add + delete vectors, rotations seal in background worker threads, and
+    vacuum fires on ratio (the aux scenario class in BASELINE.json). Reports
+    query QPS sustained during the churn window, with recall measured on the
+    stable prefix of the corpus AFTER the churn (correctness under mutation)."""
+    import threading
+
+    import vectorsearch_tpu as vs
+    from vectorsearch_tpu.core.index import VectorIndex
+    from vectorsearch_tpu.core.persist import MemoryStorage
+    from vectorsearch_tpu.params import Mode, SearchParams
+
+    rng = np.random.default_rng(42)
+    n0, d, k = 200_000, 128, 10
+    centers = rng.normal(size=(512, d)).astype(np.float32) * 4
+    x = centers[rng.integers(0, 512, n0)] + rng.normal(size=(n0, d)).astype(np.float32)
+
+    idx = VectorIndex.create_or_open(
+        vs.VectorIndexConfig(
+            storage=MemoryStorage(), name="churn", dimension=d, metric="L2",
+            max_segment_size=50_000, pq_m=16, pq_k=256, graph_degree=32,
+            graph_build_breadth=64, graph_alpha=1.2,
+            local_worker_threads=1, local_maintenance_worker_threads=1,
+            vacuum_min_deleted_ratio=0.1,
+            vacuum_cooldown_s=5.0,  # production tuning: don't re-vacuum a
+            #   segment more than every 5s under continuous deletes
+        )
+    )
+    gids = idx.add_all(x)
+    idx.await_indexing_complete(timeout=600)
+
+    params = SearchParams(ef_search=150, beam_width=128, max_iters=6,
+                          max_explore=150, mode=Mode.BEST_FIRST)
+    q = centers[rng.integers(0, 512, 512)] + rng.normal(size=(512, d)).astype(
+        np.float32
+    )
+    # Warm EVERY program shape the churn window will hit (first compiles are
+    # 20-40s each through the remote endpoint and would eat the measurement
+    # window): rotations put 1-4 brute-force segments in flight, and the
+    # brute stack pads the segment count to powers of two.
+    import jax.numpy as jnp
+
+    from vectorsearch_tpu.core.index import _stacked_brute_query
+
+    idx.query_batch(q, k, params)
+    cap = idx.store.segments[0].cap_pad
+    per_seg_limit = max(k, k * idx.config.oversample)
+    for nb in (1, 2, 4):
+        _stacked_brute_query(
+            jnp.asarray(q), jnp.zeros((nb * cap, d), jnp.float32),
+            jnp.zeros(nb * cap, bool), 0,
+            k=min(per_seg_limit, cap * nb), metric="L2", n_per_seg=cap,
+        )
+
+    stop = [False]
+    mutations = [0]
+
+    def writer():
+        wrng = np.random.default_rng(7)
+        next_del = n0 // 2
+        while not stop[0]:
+            fresh = centers[wrng.integers(0, 512, 1000)] + wrng.normal(
+                size=(1000, d)
+            ).astype(np.float32)
+            idx.add_all(fresh)
+            idx.delete_all(list(range(next_del, next_del + 1000)))
+            next_del += 1000
+            mutations[0] += 2000
+            time.sleep(0.01)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    counts = [0] * 4
+
+    def client(i):
+        while not stop[0]:
+            idx.query_batch(q, k, params)
+            counts[i] += 512
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    t0 = time.perf_counter()
+    wt.start()
+    for t in threads:
+        t.start()
+    time.sleep(10.0)
+    stop[0] = True
+    for t in threads:
+        t.join()
+    wt.join()
+    qps = sum(counts) / (time.perf_counter() - t0)
+
+    # correctness after churn: stable prefix still searchable at recall
+    idx.await_indexing_complete(timeout=600)
+    res = idx.query_batch(x[:128], k, params)
+    hits = sum(1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r])
+    recall = hits / 128
+    # deleted rows really gone
+    dead = idx.query_batch(x[n0 // 2 : n0 // 2 + 64], 20, params)
+    leaked = sum(
+        1 for i, r in enumerate(dead) if gids[n0 // 2 + i] in [s.gid for s in r]
+    )
+    idx.close()
+    return {
+        "metric": (
+            f"churn_qps_k10_selfrecall{recall:.2f}_leaked{leaked}"
+            f"_mutations{mutations[0]}"
+        ),
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }
+
+
 def main():
     from vectorsearch_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
     which = os.environ.get("VSTPU_BENCH", "sift100k")
-    fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref}[which]
+    fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref,
+          "churn": bench_churn}[which]
     print(json.dumps(fn()))
 
 

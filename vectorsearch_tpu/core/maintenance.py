@@ -77,6 +77,9 @@ class MaintenanceService:
                 self.store.checkpoint_segment(seg_id)
                 self.store.checkpoint_state()
                 under_half = seg.meta.count < cfg.max_segment_size / 2
+            # re-upload the device bundle HERE (maintenance thread), not on
+            # the next query's latency path
+            seg.warm_device()
             metrics.inc("vectorsearch.vacuum.run")
             metrics.inc("vectorsearch.vacuum.removed", removed)
             # Half-empty after vacuum -> look for compaction partners (:200-216)
@@ -277,6 +280,7 @@ class MaintenanceService:
                     store.storage.delete_segment(store.name, seg.seg_id)
                 store.checkpoint_segment(dest_id)
                 store.checkpoint_state()
+            dest.warm_device()  # upload here, not on the next query's path
             metrics.inc("vectorsearch.compaction.run")
             LOG.info("compacted %s -> %d", seg_ids, dest_id)
             return dest_id

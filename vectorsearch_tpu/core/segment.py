@@ -48,8 +48,24 @@ def _update_rows(dst: jax.Array, rows: jax.Array, start: jax.Array) -> jax.Array
 
 
 @jax.jit
+def _update_range_1d(dst: jax.Array, vals: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(dst, vals, (start,))
+
+
+@jax.jit
 def _update_flags(dst: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
     return dst.at[idx].set(values)
+
+
+def _bucket_update(n: int, lo: int = 256) -> int:
+    """Update-payload sizes are BUCKETED to powers of two: the incremental
+    sync otherwise compiles a new XLA program for every distinct appended-row
+    count — under a mutating workload that is a fresh ~20-40s remote compile
+    per query batch (measured 10.7 s/batch churn; 72 ms without writers)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 class Segment:
@@ -207,25 +223,53 @@ class Segment:
                 return
             if self.next_row > self._dev_rows:
                 start, stop = self._dev_rows, self.next_row
-                rows = self._put(self.vectors_np[start:stop])
+                # pad the update to a bucketed size so only O(log cap) update
+                # programs ever compile; rows beyond `stop` are host-truth
+                # too (exists False -> invisible) and get re-covered by the
+                # next sync since _dev_rows advances only to `stop`
+                span = min(_bucket_update(stop - start), self.cap_pad - start)
                 self._vectors_dev = _update_rows(
-                    self._vectors_dev, rows, jnp.int32(start)
+                    self._vectors_dev,
+                    self._put(self.vectors_np[start : start + span]),
+                    jnp.int32(start),
                 )
-                idx = jnp.arange(start, stop, dtype=jnp.int32)
-                self._exists_dev = _update_flags(
-                    self._exists_dev, idx, jnp.ones(stop - start, bool)
+                # flags beyond `stop` are forced False: those rows may be
+                # mid-append by a concurrent writer (torn reads) — they stay
+                # invisible until the next sync re-covers them
+                ex = self.exists_np[start : start + span].copy()
+                al = self.alive_np[start : start + span].copy()
+                ex[stop - start:] = False
+                al[stop - start:] = False
+                self._exists_dev = _update_range_1d(
+                    self._exists_dev, self._put(ex), jnp.int32(start)
                 )
-                self._alive_dev = _update_flags(
-                    self._alive_dev, idx, self._put(self.alive_np[start:stop])
+                self._alive_dev = _update_range_1d(
+                    self._alive_dev, self._put(al), jnp.int32(start)
                 )
                 self._dev_rows = stop
             if self._pending_flag_updates:
                 ids = np.array([i for i, _ in self._pending_flag_updates], np.int32)
                 vals = np.array([v for _, v in self._pending_flag_updates], bool)
+                # bucket the scatter size too (duplicate writes of the first
+                # element are idempotent padding)
+                span = _bucket_update(len(ids), lo=64)
+                pad = span - len(ids)
+                if pad:
+                    ids = np.concatenate([ids, np.full(pad, ids[0], np.int32)])
+                    vals = np.concatenate([vals, np.full(pad, vals[0], bool)])
                 self._alive_dev = _update_flags(
                     self._alive_dev, self._put(ids), self._put(vals)
                 )
                 self._pending_flag_updates.clear()
+
+    def warm_device(self) -> None:
+        """Re-materializes every device mirror NOW (call from maintenance
+        threads after invalidate_device) so the next query doesn't pay the
+        full host->device upload on its latency path — measured ~0.5 s per
+        100k segment through the axon tunnel, which collapsed churn QPS when
+        every vacuum invalidated the bundle."""
+        self.sync_device()
+        _ = self.codes_dev, self.codebook_dev, self.adjacency_dev
 
     @property
     def vectors_dev(self) -> jax.Array:

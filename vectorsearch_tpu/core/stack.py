@@ -58,9 +58,24 @@ class BruteStack:
     def __init__(self, segments: Sequence[Segment]):
         self.segments = list(segments)
         self.cap_pad = segments[0].cap_pad
-        # flattened: one pairwise matmul covers every row of every segment
-        self.vectors = jnp.concatenate([s.vectors_dev for s in segments], axis=0)
-        self.alive = jnp.concatenate([s.alive_dev for s in segments], axis=0)
+        # flattened: one pairwise matmul covers every row of every segment.
+        # The SEGMENT-COUNT axis is padded to a power of two: every distinct
+        # flattened length is its own XLA program, and under churn (rotations
+        # adding PENDING segments) unpadded lengths forced a fresh ~5-40s
+        # compile per rotation. Padded rows are alive=False -> idx -1 ->
+        # filtered at the merge.
+        n_pad = 1
+        while n_pad < len(segments):
+            n_pad *= 2
+        vecs = [s.vectors_dev for s in segments]
+        alive = [s.alive_dev for s in segments]
+        if n_pad > len(segments):
+            cap, dim = vecs[0].shape
+            extra = n_pad - len(segments)
+            vecs.append(jnp.zeros((extra * cap, dim), vecs[0].dtype))
+            alive.append(jnp.zeros(extra * cap, bool))
+        self.vectors = jnp.concatenate(vecs, axis=0)
+        self.alive = jnp.concatenate(alive, axis=0)
 
 
 class StackCache:
