@@ -47,14 +47,20 @@ def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
     return idx, gids
 
 
-def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8):
+def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8,
+                arrays=True):
     """Serving throughput: `in_flight` concurrent clients keep the chip busy
     (device compute serializes; host merge and device->host fetch round-trips
     overlap — a single synchronous client measures tunnel latency, not chip
-    throughput)."""
+    throughput). Measured through query_batch_arrays (gids/scores/distances
+    as numpy arrays — the TPU-native serving API): the SearchResult object
+    path costs ~8 ms of GIL-serialized Python per 512-query batch, which caps
+    ANY number of clients at ~64k QPS regardless of the chip. Pass
+    arrays=False to measure the object API instead."""
     import threading
 
-    idx.query_batch(queries[:batch], k, params)  # compile warmup
+    call = idx.query_batch_arrays if arrays else idx.query_batch
+    call(queries[:batch], k, params)  # compile warmup
     stop = [False]
     counts = [0] * in_flight
 
@@ -62,7 +68,7 @@ def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8):
         done = 0
         while not stop[0]:
             off = (i * batch + done) % (len(queries) - batch)
-            idx.query_batch(queries[off : off + batch], k, params)
+            call(queries[off : off + batch], k, params)
             done += batch
             counts[i] += batch
 
@@ -113,7 +119,7 @@ def bench_sift100k():
     qps = measure_qps(idx, queries, k, batch=512, params=params)
     idx.close()
     return {
-        "metric": f"sift100k_qps_per_chip_k10_recall{recall:.2f}_build{build_s:.0f}s",
+        "metric": f"sift100k_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
@@ -146,7 +152,7 @@ def bench_sift1m():
     qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=512, params=params)
     idx.close()
     return {
-        "metric": f"sift1m_qps_per_chip_k10_recall{recall:.2f}_build{build_s:.0f}s",
+        "metric": f"sift1m_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
@@ -168,7 +174,7 @@ def bench_ref():
     qps = measure_qps(idx, queries, k, batch=512)
     idx.close()
     return {
-        "metric": "e2e_best_first_qps_1100x8_k10",
+        "metric": "e2e_best_first_qps_1100x8_k10_arrays",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
@@ -251,7 +257,7 @@ def bench_churn():
 
     def client(i):
         while not stop[0]:
-            idx.query_batch(q, k, params)
+            idx.query_batch_arrays(q, k, params)
             counts[i] += 512
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
@@ -279,7 +285,7 @@ def bench_churn():
     idx.close()
     return {
         "metric": (
-            f"churn_qps_k10_selfrecall{recall:.2f}_leaked{leaked}"
+            f"churn_qps_arrays_k10_selfrecall{recall:.2f}_leaked{leaked}"
             f"_mutations{mutations[0]}"
         ),
         "value": round(qps, 1),

@@ -68,6 +68,29 @@ def main():
     results.append({"metric": "adc_scan_q128_n100k_m16", "value": round(sec / (128 * 100_352) * 1e9, 3),
                     "unit": "ns/distance"})
 
+    # flat-path pool build at the serving shape (Q=512): scan + global top-ef
+    # in ONE program — in-program deltas are the only trustworthy comparison
+    # (standalone op timings hide dispatch/fusion effects; see CLAUDE.md)
+    q512 = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32))
+    lut512 = pq.build_lut(q512, cb)
+
+    @jax.jit
+    def flat_pool_f32(lut, codes, valid):
+        approx = pq.adc_scan_auto(lut, codes, valid)
+        return jax.lax.approx_max_k(-approx, 256, recall_target=0.95)
+
+    @jax.jit
+    def flat_pool_fused(lut, codes, valid):
+        neg = pq.adc_scan_scores_auto(lut, codes, valid)
+        return jax.lax.approx_max_k(neg, 256, recall_target=0.95)
+
+    sec = timed(lambda: flat_pool_f32(lut512, codes, valid), reps=10)
+    results.append({"metric": "flat_pool_q512_n100k_f32scan", "value": round(sec * 1e3, 3),
+                    "unit": "ms"})
+    sec = timed(lambda: flat_pool_fused(lut512, codes, valid), reps=10)
+    results.append({"metric": "flat_pool_q512_n100k_fusedscores", "value": round(sec * 1e3, 3),
+                    "unit": "ms"})
+
     for r in results:
         print(json.dumps(r))
 

@@ -107,6 +107,28 @@ def test_adc_scan_chunked_path(rng):
     assert np.allclose(full, chunked)
 
 
+def test_adc_scan_scores_negated_with_mask(rng):
+    """adc_scan_scores_auto = -adc_scan with -inf at invalid rows; on the CPU
+    backend it takes the XLA fallback (the Pallas kernel additionally pads
+    the width with -inf columns — consumers only take approx_max_k and mask
+    on > -inf, so padding is unobservable)."""
+    d, m, k, n = 8, 4, 4, 37
+    cb = rng.normal(size=(m, k, d // m)).astype(np.float32)
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[5] = False
+    lut = pq.build_lut(jnp.asarray(q), jnp.asarray(cb))
+    ref = np.asarray(pq.adc_scan(lut, jnp.asarray(codes), jnp.asarray(valid)))
+    neg = np.asarray(
+        pq.adc_scan_scores_auto(lut, jnp.asarray(codes), jnp.asarray(valid))
+    ).astype(np.float32)
+    fin = np.isfinite(ref)
+    assert np.allclose(neg[:, :n][fin], -ref[fin], rtol=1e-2)
+    assert np.all(neg[:, 5] == -np.inf)
+    assert np.all(neg[:, n:] == -np.inf)  # padded columns, if any
+
+
 def test_adc_approximates_true_distance(rng):
     # With K=N exact codebooks (one centroid per point), ADC distance equals
     # the true squared L2 distance.

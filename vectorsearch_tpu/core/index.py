@@ -98,7 +98,6 @@ def _sealed_query_step(
     The graph path remains for BEAM-mode parity and scan-free designs.
     """
     lut = pq_ops.build_lut(q, codebook)
-    approx = pq_ops.adc_scan_auto(lut, codes, exists)
     if flat:
         # Pool = the full static buffer (ef bucketed up to ef_buf), matching
         # the graph path's effective semantics: there too the whole ef_buf
@@ -106,9 +105,13 @@ def _sealed_query_step(
         # EXPLORATION, a concept with no flat counterpart. Masking the pool
         # down to ef_dyn measured recall .99 -> .87 on sift100k while the
         # graph path at the same ef stayed .99 via its full buffer.
-        neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
-        cand_idx = jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32), -1)
+        # The scores scan fuses negation + validity mask + bf16 cast into the
+        # Pallas kernel, so approx_max_k is its direct consumer.
+        neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
+        neg, idx = jax.lax.approx_max_k(neg_scores, ef_buf, recall_target=0.95)
+        cand_idx = jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
     else:
+        approx = pq_ops.adc_scan_auto(lut, codes, exists)
         # approx_max_k: the seeds are approximate by construction; a full
         # top_k over N columns is a per-row sort and dominates at 100k rows
         neg_seed, seed_idx = jax.lax.approx_max_k(

@@ -224,6 +224,25 @@ def adc_scan_auto(lut: jax.Array, codes: jax.Array, valid: jax.Array) -> jax.Arr
     return adc_scan(lut, codes, valid)
 
 
+def adc_scan_scores_auto(
+    lut: jax.Array, codes: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """Flat-path scan: NEGATED ADC scores (higher = closer), -inf at invalid
+    rows, ready for jax.lax.approx_max_k with no intermediate [Q, N] passes.
+    On TPU the negation/mask/bf16-cast are fused into the Pallas kernel and
+    the output may be tile-padded wider than N (padding = -inf, never
+    selectable); elsewhere falls back to negating the XLA scan (inf -> -inf
+    at invalid rows, exact [Q, N] width)."""
+    import jax as _jax
+
+    m, k = lut.shape[1], lut.shape[2]
+    if _jax.default_backend() != "cpu" and m >= 8 and m * k >= 1024:
+        from vectorsearch_tpu.ops.pallas.adc import adc_scan_scores_pallas
+
+        return adc_scan_scores_pallas(lut, codes, valid)
+    return -adc_scan(lut, codes, valid)
+
+
 def zero_codebook(m: int, k: int, sub_dim: int) -> jax.Array:
     """Zero-codebook fallback for empty-segment builds
     (reference: tasks/SegmentBuildService.java:143-157)."""
