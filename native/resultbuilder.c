@@ -1,0 +1,137 @@
+/* CPython extension: batch SearchResult construction for query_batch.
+ *
+ * The reference returns List<SearchResult> per query
+ * (api/VectorIndex.java:114-130, api/SearchResult.java:5-18); building
+ * nq*k namedtuples in Python bytecode costs ~8 ms per 512x10 batch under
+ * the GIL — the serving-throughput ceiling for the object API. This builder
+ * walks the merged result planes in C and creates the SearchResult
+ * instances via tuple.__new__(cls, items), skipping the namedtuple's
+ * Python-level __new__.
+ *
+ * build_results(cls, gid i64[nq,k], score f32[nq,k], dist f32[nq,k],
+ *               slot i32[nq,k], vid i32[nq,k], valid u8/bool[nq,k],
+ *               payload_lists: list[list]) -> list[list[cls]]
+ *
+ * payload_lists[slot][vid] is the payload (borrowed; INCREFed into the
+ * result). Entries with valid==0 are skipped. All arrays must be
+ * C-contiguous with exactly the dtypes above (the Python wrapper enforces
+ * this and falls back to the pure-Python loop on any mismatch).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+
+typedef struct {
+  Py_buffer buf;
+  int held;
+} held_buf;
+
+static int get_buf(PyObject *o, held_buf *h, Py_ssize_t itemsize,
+                   Py_ssize_t nq, Py_ssize_t k, const char *name) {
+  if (PyObject_GetBuffer(o, &h->buf, PyBUF_C_CONTIGUOUS) != 0) return -1;
+  h->held = 1;
+  if (h->buf.len != itemsize * nq * k) {
+    PyErr_Format(PyExc_ValueError, "%s: unexpected buffer size", name);
+    return -1;
+  }
+  return 0;
+}
+
+static PyObject *build_results(PyObject *self, PyObject *args) {
+  PyObject *cls, *gid_o, *score_o, *dist_o, *slot_o, *vid_o, *valid_o,
+      *payloads;
+  Py_ssize_t nq, k;
+  if (!PyArg_ParseTuple(args, "OOOOOOOOnn", &cls, &gid_o, &score_o, &dist_o,
+                        &slot_o, &vid_o, &valid_o, &payloads, &nq, &k))
+    return NULL;
+  if (!PyType_Check(cls) ||
+      !PyType_IsSubtype((PyTypeObject *)cls, &PyTuple_Type)) {
+    PyErr_SetString(PyExc_TypeError, "cls must be a tuple subclass");
+    return NULL;
+  }
+  if (!PyList_Check(payloads)) {
+    PyErr_SetString(PyExc_TypeError, "payload_lists must be a list");
+    return NULL;
+  }
+  held_buf hb[6] = {{{0}, 0}, {{0}, 0}, {{0}, 0}, {{0}, 0}, {{0}, 0}, {{0}, 0}};
+  PyObject *out = NULL;
+  if (get_buf(gid_o, &hb[0], 8, nq, k, "gid") ||
+      get_buf(score_o, &hb[1], 4, nq, k, "score") ||
+      get_buf(dist_o, &hb[2], 4, nq, k, "dist") ||
+      get_buf(slot_o, &hb[3], 4, nq, k, "slot") ||
+      get_buf(vid_o, &hb[4], 4, nq, k, "vid") ||
+      get_buf(valid_o, &hb[5], 1, nq, k, "valid"))
+    goto done;
+  {
+    const int64_t *gid = (const int64_t *)hb[0].buf.buf;
+    const float *score = (const float *)hb[1].buf.buf;
+    const float *dist = (const float *)hb[2].buf.buf;
+    const int32_t *slot = (const int32_t *)hb[3].buf.buf;
+    const int32_t *vid = (const int32_t *)hb[4].buf.buf;
+    const uint8_t *valid = (const uint8_t *)hb[5].buf.buf;
+    Py_ssize_t n_slots = PyList_GET_SIZE(payloads);
+
+    out = PyList_New(nq);
+    if (!out) goto done;
+    for (Py_ssize_t qi = 0; qi < nq; qi++) {
+      PyObject *row = PyList_New(0);
+      if (!row) goto fail;
+      PyList_SET_ITEM(out, qi, row); /* steals */
+      for (Py_ssize_t j = 0; j < k; j++) {
+        Py_ssize_t at = qi * k + j;
+        if (!valid[at]) continue;
+        int32_t sl = slot[at], vv = vid[at];
+        PyObject *payload = Py_None;
+        if (sl >= 0 && sl < n_slots && vv >= 0) {
+          PyObject *plist = PyList_GET_ITEM(payloads, sl);
+          if (PyList_Check(plist) && vv < PyList_GET_SIZE(plist))
+            payload = PyList_GET_ITEM(plist, vv);
+        }
+        PyObject *inner = PyTuple_New(4);
+        if (!inner) goto fail;
+        PyObject *g = PyLong_FromLongLong(gid[at]);
+        PyObject *s = PyFloat_FromDouble((double)score[at]);
+        PyObject *d = PyFloat_FromDouble((double)dist[at]);
+        if (!g || !s || !d) {
+          Py_XDECREF(g); Py_XDECREF(s); Py_XDECREF(d); Py_DECREF(inner);
+          goto fail;
+        }
+        PyTuple_SET_ITEM(inner, 0, g);
+        PyTuple_SET_ITEM(inner, 1, s);
+        PyTuple_SET_ITEM(inner, 2, d);
+        Py_INCREF(payload);
+        PyTuple_SET_ITEM(inner, 3, payload);
+        /* tuple.__new__(cls, inner): C-speed construction of the
+         * namedtuple instance, bypassing its Python __new__ */
+        PyObject *newargs = PyTuple_Pack(1, inner);
+        Py_DECREF(inner);
+        if (!newargs) goto fail;
+        PyObject *res = PyTuple_Type.tp_new((PyTypeObject *)cls, newargs, NULL);
+        Py_DECREF(newargs);
+        if (!res) goto fail;
+        if (PyList_Append(row, res) != 0) {
+          Py_DECREF(res);
+          goto fail;
+        }
+        Py_DECREF(res);
+      }
+    }
+  }
+  goto done;
+fail:
+  Py_CLEAR(out);
+done:
+  for (int i = 0; i < 6; i++)
+    if (hb[i].held) PyBuffer_Release(&hb[i].buf);
+  return out;
+}
+
+static PyMethodDef methods[] = {
+    {"build_results", build_results, METH_VARARGS,
+     "Batch-construct per-query SearchResult lists from merged planes."},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_vsresults",
+                                       NULL, -1, methods};
+
+PyMODINIT_FUNC PyInit__vsresults(void) { return PyModule_Create(&moduledef); }

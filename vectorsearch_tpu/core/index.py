@@ -858,25 +858,42 @@ class VectorIndex:
                     float(np.mean(np.sum(gids_a >= 0, axis=1))),
                 )
                 return gids_a, scores_a, dists_a
-            # Result building is GIL-bound Python (nq*k objects per batch):
-            # .tolist() converts once at C speed (np scalar boxing in a
-            # per-element loop measured ~21 ms/batch at Q=512 — the
-            # throughput ceiling), and SearchResult is a NamedTuple.
-            valid_l = valid.tolist()
-            gid_l = gid_of.tolist()
-            s_l = top_s.tolist()
-            d_l = top_d.tolist()
-            slot_l = slot_of.tolist()
-            vid_l = vid_of.tolist()
-            for qi in range(nq):
-                results[qi] = [
-                    SearchResult(g, s, dd, seg_list[sl].payloads[vv])
-                    for ok, g, s, dd, sl, vv in zip(
-                        valid_l[qi], gid_l[qi], s_l[qi], d_l[qi],
-                        slot_l[qi], vid_l[qi],
-                    )
-                    if ok
-                ]
+            # Result building is GIL-bound Python (nq*k objects per batch).
+            # Preferred: the C extension walks the merged planes and creates
+            # the SearchResult tuples at C speed (~8 ms -> ~1 ms per 512x10
+            # batch; native/resultbuilder.c). Fallback: .tolist() converts
+            # once at C speed and a comprehension builds the NamedTuples.
+            from vectorsearch_tpu.native import load_result_builder
+
+            builder = load_result_builder()
+            if builder is not None:
+                results = builder(
+                    SearchResult,
+                    np.ascontiguousarray(gid_of, np.int64),
+                    np.ascontiguousarray(top_s, np.float32),
+                    np.ascontiguousarray(top_d, np.float32),
+                    np.ascontiguousarray(slot_of, np.int32),
+                    np.ascontiguousarray(vid_of, np.int32),
+                    np.ascontiguousarray(valid, np.uint8),
+                    [seg.payloads for seg in seg_list],
+                    nq, valid.shape[1],
+                )
+            else:
+                valid_l = valid.tolist()
+                gid_l = gid_of.tolist()
+                s_l = top_s.tolist()
+                d_l = top_d.tolist()
+                slot_l = slot_of.tolist()
+                vid_l = vid_of.tolist()
+                for qi in range(nq):
+                    results[qi] = [
+                        SearchResult(g, s, dd, seg_list[sl].payloads[vv])
+                        for ok, g, s, dd, sl, vv in zip(
+                            valid_l[qi], gid_l[qi], s_l[qi], d_l[qi],
+                            slot_l[qi], vid_l[qi],
+                        )
+                        if ok
+                    ]
 
         dur_ms = (time.monotonic() - t0) * 1000.0
         self._metrics.inc("vectorsearch.query.count", nq)

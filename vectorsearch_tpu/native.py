@@ -70,6 +70,53 @@ def _load_library():
         return _lib
 
 
+_RB_SRC = os.path.join(_REPO_ROOT, "native", "resultbuilder.c")
+_RB_LIB = os.path.join(_REPO_ROOT, "native", "_vsresults.so")
+_rb_lock = threading.Lock()
+_rb_mod = None
+_rb_attempted = False
+
+
+def load_result_builder():
+    """Returns the C build_results function (see native/resultbuilder.c) or
+    None; builds the extension on first call. Unlike the ctypes gidmap this
+    is a real CPython extension (it constructs Python result objects), so it
+    compiles against the interpreter headers and is imported as a module."""
+    global _rb_mod, _rb_attempted
+    with _rb_lock:
+        if _rb_attempted:
+            return getattr(_rb_mod, "build_results", None)
+        _rb_attempted = True
+        try:
+            import sysconfig
+
+            if not os.path.exists(_RB_LIB) or (
+                os.path.exists(_RB_SRC)
+                and os.path.getmtime(_RB_SRC) > os.path.getmtime(_RB_LIB)
+            ):
+                subprocess.run(
+                    [
+                        "gcc", "-O2", "-shared", "-fPIC",
+                        "-I", sysconfig.get_paths()["include"],
+                        "-o", _RB_LIB, _RB_SRC,
+                    ],
+                    check=True, capture_output=True,
+                )
+            import importlib.machinery
+            import importlib.util
+
+            loader = importlib.machinery.ExtensionFileLoader("_vsresults", _RB_LIB)
+            spec = importlib.util.spec_from_loader("_vsresults", loader)
+            mod = importlib.util.module_from_spec(spec)
+            loader.exec_module(mod)
+            _rb_mod = mod
+        except Exception:
+            LOG.warning("native result builder unavailable; using Python loop",
+                        exc_info=True)
+            _rb_mod = None
+        return getattr(_rb_mod, "build_results", None)
+
+
 def pack_loc(seg_id: int, vec_id: int) -> int:
     return (seg_id << 32) | (vec_id & 0xFFFFFFFF)
 
