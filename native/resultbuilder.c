@@ -13,9 +13,11 @@
  *               payload_lists: list[list]) -> list[list[cls]]
  *
  * payload_lists[slot][vid] is the payload (borrowed; INCREFed into the
- * result). Entries with valid==0 are skipped. All arrays must be
- * C-contiguous with exactly the dtypes above (the Python wrapper enforces
- * this and falls back to the pure-Python loop on any mismatch).
+ * result). Entries with valid==0 are skipped; a valid entry whose slot/vid
+ * falls outside the payload planes raises IndexError (merge-plane bug —
+ * matches the Python fallback). All arrays must be C-contiguous with
+ * exactly the dtypes above; the caller wraps this in try/except and falls
+ * back to the pure-Python loop on any error.
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -81,26 +83,45 @@ static PyObject *build_results(PyObject *self, PyObject *args) {
         Py_ssize_t at = qi * k + j;
         if (!valid[at]) continue;
         int32_t sl = slot[at], vv = vid[at];
-        PyObject *payload = Py_None;
+        PyObject *payload;
         if (sl >= 0 && sl < n_slots && vv >= 0) {
           PyObject *plist = PyList_GET_ITEM(payloads, sl);
-          if (PyList_Check(plist) && vv < PyList_GET_SIZE(plist))
+          if (PyList_Check(plist) && vv < PyList_GET_SIZE(plist)) {
             payload = PyList_GET_ITEM(plist, vv);
+          } else {
+            /* valid==1 but the location falls outside the payload planes:
+             * a merge-plane bug — surface it like the Python fallback's
+             * IndexError would, instead of masking it as payload=None */
+            PyErr_Format(PyExc_IndexError,
+                         "valid result points outside payload planes "
+                         "(slot=%d, vid=%d)", (int)sl, (int)vv);
+            goto fail;
+          }
+        } else {
+          PyErr_Format(PyExc_IndexError,
+                       "valid result with out-of-range slot/vid "
+                       "(slot=%d, vid=%d, n_slots=%zd)", (int)sl, (int)vv,
+                       n_slots);
+          goto fail;
         }
+        /* INCREF the borrowed payload BEFORE any allocation below: object
+         * construction can trigger cyclic GC running arbitrary __del__ code
+         * that could mutate the payload list and drop its last reference */
+        Py_INCREF(payload);
         PyObject *inner = PyTuple_New(4);
-        if (!inner) goto fail;
+        if (!inner) { Py_DECREF(payload); goto fail; }
         PyObject *g = PyLong_FromLongLong(gid[at]);
         PyObject *s = PyFloat_FromDouble((double)score[at]);
         PyObject *d = PyFloat_FromDouble((double)dist[at]);
         if (!g || !s || !d) {
           Py_XDECREF(g); Py_XDECREF(s); Py_XDECREF(d); Py_DECREF(inner);
+          Py_DECREF(payload);
           goto fail;
         }
         PyTuple_SET_ITEM(inner, 0, g);
         PyTuple_SET_ITEM(inner, 1, s);
         PyTuple_SET_ITEM(inner, 2, d);
-        Py_INCREF(payload);
-        PyTuple_SET_ITEM(inner, 3, payload);
+        PyTuple_SET_ITEM(inner, 3, payload); /* steals our new ref */
         /* tuple.__new__(cls, inner): C-speed construction of the
          * namedtuple instance, bypassing its Python __new__ */
         PyObject *newargs = PyTuple_Pack(1, inner);

@@ -866,18 +866,26 @@ class VectorIndex:
             from vectorsearch_tpu.native import load_result_builder
 
             builder = load_result_builder()
+            built = None
             if builder is not None:
-                results = builder(
-                    SearchResult,
-                    np.ascontiguousarray(gid_of, np.int64),
-                    np.ascontiguousarray(top_s, np.float32),
-                    np.ascontiguousarray(top_d, np.float32),
-                    np.ascontiguousarray(slot_of, np.int32),
-                    np.ascontiguousarray(vid_of, np.int32),
-                    np.ascontiguousarray(valid, np.uint8),
-                    [seg.payloads for seg in seg_list],
-                    nq, valid.shape[1],
-                )
+                try:
+                    built = builder(
+                        SearchResult,
+                        np.ascontiguousarray(gid_of, np.int64),
+                        np.ascontiguousarray(top_s, np.float32),
+                        np.ascontiguousarray(top_d, np.float32),
+                        np.ascontiguousarray(slot_of, np.int32),
+                        np.ascontiguousarray(vid_of, np.int32),
+                        np.ascontiguousarray(valid, np.uint8),
+                        [seg.payloads for seg in seg_list],
+                        nq, valid.shape[1],
+                    )
+                except (TypeError, ValueError):
+                    built = None  # shape/dtype mismatch: use the Python loop
+                    # (IndexError is NOT caught: it flags a merge-plane bug
+                    # the fallback would also raise on)
+            if built is not None:
+                results = built
             else:
                 valid_l = valid.tolist()
                 gid_l = gid_of.tolist()

@@ -2,9 +2,12 @@
 
 The reference stores every mutation transactionally in FDB (SURVEY.md §5.4:
 "FDB is the single source of truth"). On TPU the authoritative working state is
-host RAM + HBM; durability is provided by checkpointing through one of these
-backends at lifecycle boundaries (segment rotation, seal, vacuum, compaction)
-plus explicit `VectorIndex.checkpoint()` calls.
+host RAM + HBM; durability is two-layer:
+- per-mutation: every add/delete appends to a per-segment write-ahead log
+  (the analogue of FDB's transactional writes, fdb/FdbVectorStore.java:276-492);
+- checkpoint: full segment arrays persisted at lifecycle boundaries (seal,
+  vacuum, compaction) plus explicit `VectorIndex.checkpoint()` calls, which
+  resets that segment's WAL. Open = load checkpoints, replay WALs.
 
 Two backends:
 - MemoryStorage: keeps everything in process memory. The default for tests and
@@ -64,6 +67,24 @@ class IndexStorage:
     def delete_index(self, name: str) -> None:
         raise NotImplementedError
 
+    # -- per-segment write-ahead log (per-mutation durability; reference
+    # semantics: every add/delete is an FDB transaction,
+    # fdb/FdbVectorStore.java:276-423,425-492). Records are replayed in append
+    # order over the segment's last checkpoint on open; a checkpoint resets
+    # the log. Records must therefore be idempotent under in-order replay. --
+
+    def wal_append(self, name: str, seg_id: int, record: dict) -> None:
+        raise NotImplementedError
+
+    def wal_read(self, name: str, seg_id: int) -> list[dict]:
+        raise NotImplementedError
+
+    def wal_reset(self, name: str, seg_id: int) -> None:
+        raise NotImplementedError
+
+    def wal_segments(self, name: str) -> list[int]:
+        raise NotImplementedError
+
     # -- task-queue journal (durable queues; reference semantics: the FDB-
     # backed taskqueue persists every enqueue/claim/retry, SURVEY.md §5.3) --
 
@@ -87,6 +108,7 @@ class MemoryStorage(IndexStorage):
         self._state: Dict[str, dict] = {}
         self._segments: Dict[str, Dict[int, dict]] = {}
         self._queues: Dict[str, Dict[str, dict]] = {}
+        self._wals: Dict[str, Dict[int, list]] = {}
 
     def list_indexes(self):
         with self._lock:
@@ -137,6 +159,26 @@ class MemoryStorage(IndexStorage):
             self._state.pop(name, None)
             self._segments.pop(name, None)
             self._queues.pop(name, None)
+            self._wals.pop(name, None)
+
+    def wal_append(self, name, seg_id, record):
+        with self._lock:
+            self._wals.setdefault(name, {}).setdefault(seg_id, []).append(
+                pickle.dumps(record)
+            )
+
+    def wal_read(self, name, seg_id):
+        with self._lock:
+            recs = self._wals.get(name, {}).get(seg_id, [])
+            return [pickle.loads(b) for b in recs]
+
+    def wal_reset(self, name, seg_id):
+        with self._lock:
+            self._wals.get(name, {}).pop(seg_id, None)
+
+    def wal_segments(self, name):
+        with self._lock:
+            return sorted(self._wals.get(name, {}))
 
     def read_queue(self, name, qname):
         with self._lock:
@@ -259,6 +301,63 @@ class DiskStorage(IndexStorage):
 
             if os.path.exists(self._idx(name)):
                 shutil.rmtree(self._idx(name))
+
+    def _wal_dir(self, name):
+        return os.path.join(self._idx(name), "wal")
+
+    def _wal_path(self, name, seg_id):
+        return os.path.join(self._wal_dir(name), f"{seg_id}.wal")
+
+    def wal_append(self, name, seg_id, record):
+        # Length-framed pickle appended to a per-segment log. A crash mid-write
+        # leaves a torn tail frame which wal_read skips — the record simply
+        # never committed, matching an aborted FDB transaction.
+        blob = pickle.dumps(record, protocol=pickle.HIGHEST_PROTOCOL)
+        frame = len(blob).to_bytes(8, "little") + blob
+        with self._lock:
+            os.makedirs(self._wal_dir(name), exist_ok=True)
+            with open(self._wal_path(name, seg_id), "ab") as f:
+                f.write(frame)
+                f.flush()
+
+    def wal_read(self, name, seg_id):
+        with self._lock:
+            p = self._wal_path(name, seg_id)
+            if not os.path.exists(p):
+                return []
+            with open(p, "rb") as f:
+                data = f.read()
+        out, off = [], 0
+        while off + 8 <= len(data):
+            n = int.from_bytes(data[off : off + 8], "little")
+            if off + 8 + n > len(data):
+                break  # torn tail: uncommitted record
+            try:
+                out.append(pickle.loads(data[off + 8 : off + 8 + n]))
+            except Exception:
+                break  # corrupt tail
+            off += 8 + n
+        return out
+
+    def wal_reset(self, name, seg_id):
+        with self._lock:
+            p = self._wal_path(name, seg_id)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def wal_segments(self, name):
+        with self._lock:
+            d = self._wal_dir(name)
+            if not os.path.isdir(d):
+                return []
+            out = []
+            for fn in os.listdir(d):
+                if fn.endswith(".wal"):
+                    try:
+                        out.append(int(fn[:-4]))
+                    except ValueError:
+                        pass
+            return sorted(out)
 
     def read_queue(self, name, qname):
         with self._lock:

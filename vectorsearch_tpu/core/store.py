@@ -109,13 +109,18 @@ class VectorStore:
             self.max_segment_id = state["max_segment_id"]
             self.next_gid = state["next_gid"]
             self.registry = list(state["registry"])
-            self.gid_map = GidMap(max(1024, self.next_gid))
-            gk, gv = state["gid_entries"]
-            self.gid_map.put_batch(np.asarray(gk, np.int64), np.asarray(gv, np.int64))
             self.segments = {}
             for sid, meta_json in state["segment_metas"].items():
                 sid = int(sid)
                 meta = SegmentMeta.from_json(meta_json)
+                # A WRITING segment outside the registry is debris of an
+                # interrupted compaction (the swap never committed; sources
+                # remain authoritative) — drop it, like the reference where
+                # an unregistered dest is invisible and its task retries.
+                if meta.state == SegmentState.WRITING and sid not in self.registry:
+                    self.storage.delete_segment(self.name, sid)
+                    self.storage.wal_reset(self.name, sid)
+                    continue
                 rec = self.storage.read_segment(self.name, sid)
                 if rec is None:
                     seg = self._new_segment(sid, meta.state)
@@ -126,6 +131,32 @@ class VectorStore:
                         rec, device=self._segment_device(sid),
                     )
                 self.segments[sid] = seg
+            # Per-mutation durability: replay each segment's WAL over its
+            # checkpoint (adds + tombstones since the last full write).
+            for sid in self.storage.wal_segments(self.name):
+                seg = self.segments.get(sid)
+                if seg is None:
+                    self.storage.wal_reset(self.name, sid)  # unknown: debris
+                    continue
+                seg.replay_wal(self.storage.wal_read(self.name, sid))
+            # Rebuild derived state from segment truth: the gid map, counts,
+            # and the gid counter (reconciles meta.count with arrays — counts
+            # in persisted metas may predate WAL-only mutations).
+            self.gid_map = GidMap(max(1024, self.next_gid))
+            max_gid = -1
+            for sid in self.registry:
+                seg = self.segments.get(sid)
+                if seg is None:
+                    continue
+                vids = np.flatnonzero(seg.gids_np[: seg.next_row] >= 0)
+                if len(vids):
+                    gids = seg.gids_np[vids]
+                    self.gid_map.put_batch(
+                        gids, (np.int64(sid) << 32) | vids.astype(np.int64)
+                    )
+                    max_gid = max(max_gid, int(gids.max()))
+                seg.reconcile_counts()
+            self.next_gid = max(self.next_gid, max_gid + 1)
             # Crash recovery: interrupted builds resume from the queue — the
             # reference's queue lives in FDB; ours is in-process, so re-enqueue
             # builds for any PENDING/WRITING segment found on open.
@@ -137,7 +168,8 @@ class VectorStore:
 
     def checkpoint_state(self) -> None:
         """Persists control-plane state (call with lock held or externally
-        consistent)."""
+        consistent). The gid map is NOT persisted here — it is rebuilt on load
+        from segment gids arrays (+WAL replay), the single source of truth."""
         state = {
             "current_segment": self.current_segment,
             "max_segment_id": self.max_segment_id,
@@ -146,17 +178,22 @@ class VectorStore:
             "segment_metas": {
                 sid: seg.meta.to_json() for sid, seg in self.segments.items()
             },
-            "gid_entries": self.gid_map.items_arrays(),
         }
         self.storage.write_state(self.name, state)
 
     def checkpoint_segment(self, seg_id: int) -> None:
-        seg = self.segments.get(seg_id)
-        if seg is None:
-            return
-        self.storage.write_segment(
-            self.name, seg_id, seg.to_arrays(), seg.payloads[: seg.next_row]
-        )
+        """Full-array segment checkpoint; subsumes and resets the segment's
+        WAL. Checkpoint-then-reset ordering keeps a crash between the two
+        writes safe: replaying the stale WAL over the new checkpoint is
+        idempotent (records re-apply in order)."""
+        with self.lock:
+            seg = self.segments.get(seg_id)
+            if seg is None:
+                return
+            self.storage.write_segment(
+                self.name, seg_id, seg.to_arrays(), seg.payloads[: seg.next_row]
+            )
+            self.storage.wal_reset(self.name, seg_id)
 
     def checkpoint_all(self) -> None:
         with self.lock:
@@ -236,10 +273,9 @@ class VectorStore:
                     self._rotate_locked()
                     continue
                 take = min(cap, n - offset)
-                vec_ids = seg.append_rows(
-                    embeddings[offset : offset + take],
-                    plist[offset : offset + take],
-                )
+                chunk = embeddings[offset : offset + take]
+                chunk_payloads = plist[offset : offset + take]
+                vec_ids = seg.append_rows(chunk, chunk_payloads)
                 new_gids = np.arange(self.next_gid, self.next_gid + take, dtype=np.int64)
                 self.next_gid += take
                 vid_arr = np.asarray(vec_ids, np.int64)
@@ -247,6 +283,22 @@ class VectorStore:
                     new_gids, (np.int64(seg.seg_id) << 32) | vid_arr
                 )
                 seg.gids_np[vid_arr] = new_gids
+                # per-mutation durability (reference: each add is an FDB txn,
+                # fdb/FdbVectorStore.java:425-492)
+                self.storage.wal_append(
+                    self.name, seg.seg_id,
+                    {
+                        "op": "add",
+                        "start": int(vec_ids[0]),
+                        "vectors": chunk,
+                        "gids": new_gids,
+                        "payloads": (
+                            chunk_payloads
+                            if any(p is not None for p in chunk_payloads)
+                            else None
+                        ),
+                    },
+                )
                 gids.extend(int(g) for g in new_gids)
                 offset += take
                 # strict cap: rotate immediately when full (reference :494-510)
@@ -267,7 +319,11 @@ class VectorStore:
         self.registry.append(new_id)
         self.enqueue_build_task(old.seg_id)
         LOG.debug("rotated segment %d -> PENDING; new ACTIVE %d", old.seg_id, new_id)
-        self.checkpoint_segment(old.seg_id)
+        # No full-segment checkpoint here: the rotated segment's rows are
+        # already durable in its WAL, and the build worker checkpoints at seal
+        # — so rotation never stalls writers on a multi-MB serialization (the
+        # reference chunks writes under txn budgets for the same reason,
+        # fdb/FdbVectorStore.java:659-721). Only the tiny control write stays.
         self.checkpoint_state()
 
     def enqueue_build_task(self, seg_id: int) -> None:
@@ -295,12 +351,19 @@ class VectorStore:
                 seg = self.segments.get(seg_id)
                 if seg is None:
                     continue
+                flipped: list[int] = []
                 for gid, vid in pairs:
                     if seg.tombstone(vid):
                         self.gid_map.remove(gid)
+                        flipped.append(vid)
+                if flipped:
+                    # per-mutation durability (reference: deleteBatch is an
+                    # FDB txn, fdb/FdbVectorStore.java:276-423)
+                    self.storage.wal_append(
+                        self.name, seg_id,
+                        {"op": "del", "vids": np.asarray(flipped, np.int64)},
+                    )
                 affected.append(seg_id)
-            if affected:
-                self.checkpoint_state()
         return affected
 
     # ----------------------------------------------------------------- query

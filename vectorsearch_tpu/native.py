@@ -22,6 +22,29 @@ import numpy as np
 
 LOG = logging.getLogger("vectorsearch_tpu.native")
 
+
+def _compile_shared(src: str, out: str, extra: tuple = ()) -> None:
+    """Compiles src -> out atomically: build to a pid-unique temp file and
+    os.replace() it over the target, so concurrent processes (tests + bench)
+    can't interleave writes and a crashed build never leaves a half-written
+    .so with a fresh mtime (which would suppress rebuilds forever)."""
+    tmp = f"{out}.tmp.{os.getpid()}.so"
+    try:
+        for cc in ("g++", "cc"):  # g++ is the compiler the image documents
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", *extra, "-o", tmp, src],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, out)
+                return
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(f"no C compiler found for {src}")
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "gidmap.cpp")
 _LIB = os.path.join(_REPO_ROOT, "native", "libgidmap.so")
@@ -41,10 +64,7 @@ def _load_library():
                 os.path.exists(_SRC)
                 and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                    check=True, capture_output=True,
-                )
+                _compile_shared(_SRC, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.gidmap_create.restype = ctypes.c_void_p
             lib.gidmap_create.argtypes = [ctypes.c_uint64]
@@ -94,13 +114,9 @@ def load_result_builder():
                 os.path.exists(_RB_SRC)
                 and os.path.getmtime(_RB_SRC) > os.path.getmtime(_RB_LIB)
             ):
-                subprocess.run(
-                    [
-                        "gcc", "-O2", "-shared", "-fPIC",
-                        "-I", sysconfig.get_paths()["include"],
-                        "-o", _RB_LIB, _RB_SRC,
-                    ],
-                    check=True, capture_output=True,
+                _compile_shared(
+                    _RB_SRC, _RB_LIB,
+                    extra=("-I", sysconfig.get_paths()["include"]),
                 )
             import importlib.machinery
             import importlib.util

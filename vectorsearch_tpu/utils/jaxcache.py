@@ -13,6 +13,8 @@ import os
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
+    if os.environ.get("VSTPU_COMPILE_CACHE") == "off":
+        return
     cache_dir = path or os.environ.get(
         "VSTPU_COMPILE_CACHE", os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
