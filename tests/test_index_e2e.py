@@ -420,5 +420,16 @@ def test_cache_sizes_reported(storage, rng):
     assert idx.get_codebook_cache_size() == 0  # nothing queried yet
     idx.query(x[0], 5)
     assert idx.get_codebook_cache_size() == 1
-    assert idx.get_adjacency_cache_size() == 50
+    # flat mode (default) never traverses, so adjacency is never uploaded —
+    # the cache stays cold (HBM saved); graph mode loads it on first query
+    assert idx.get_adjacency_cache_size() == 0
     idx.close()
+
+    idx_g = make_index(storage, name="idx-g", max_segment_size=50,
+                       sealed_search_mode="graph")
+    idx_g.add_all(x)
+    run_builds(idx_g)
+    idx_g.query(x[0], 5)
+    assert idx_g.get_codebook_cache_size() == 1
+    assert idx_g.get_adjacency_cache_size() == 50
+    idx_g.close()

@@ -133,3 +133,104 @@ def test_otel_bridge_and_spans(storage, rng):
     # mirroring path exercises otel instrument creation (no SDK: no-op)
     M.get_registry().inc("vectorsearch.query.count", attrs={"x": "y"})
     M.get_registry().record("vectorsearch.query.duration_ms", 1.5)
+
+
+def test_hbm_budget_evicts_lru_and_query_still_correct(storage, rng):
+    """Byte-budget LRU eviction over device bundles (reference analogue:
+    Caffeine maximumSize/expireAfterAccess, cache/SegmentCaches.java:39-128).
+    Eviction must be transparent: host numpy is authoritative, so the next
+    query re-uploads and returns identical results."""
+    reset_for_test()
+    idx = make_index(storage, max_segment_size=30,
+                     hbm_cache_limit_bytes=1,  # below any bundle size
+                     cache_expire_after_access_s=0.0)
+    x = gaussian(rng, 90)  # 3 sealed segments
+    gids = idx.add_all(x)
+    run_builds(idx)
+
+    before = idx.query_batch(x[:8], 5)
+    # ACTIVE segment is exempt; every sealed bundle must have been evicted
+    sealed = [s for s in idx.store.segments.values()
+              if s.state.name == "SEALED"]
+    assert sealed and all(s.device_resident_bytes() == 0 for s in sealed)
+    active = [s for s in idx.store.segments.values()
+              if s.state.name == "ACTIVE"]
+    assert all(s.device_resident_bytes() >= 0 for s in active)
+
+    after = idx.query_batch(x[:8], 5)  # re-upload on demand
+    assert [[r.gid for r in q] for q in before] == [
+        [r.gid for r in q] for q in after]
+    assert before[0][0].gid == gids[0]
+
+    m = get_registry()
+    assert m.histogram_values("vectorsearch.cache.size",
+                              {"cache": "codebook"})  # gauge emitted
+    assert m.histogram_values("vectorsearch.cache.hbm_bytes")
+    idx.close()
+
+
+def test_expire_after_access_evicts_idle_bundles(storage, rng):
+    reset_for_test()
+    idx = make_index(storage, max_segment_size=30,
+                     cache_expire_after_access_s=1e-9)
+    x = gaussian(rng, 60)
+    idx.add_all(x)
+    run_builds(idx)
+    idx.query_batch(x[:4], 5)   # loads bundles, marks access
+    idx.query_batch(x[:4], 5)   # second pass: first-access now "expired"
+    sealed = [s for s in idx.store.segments.values()
+              if s.state.name == "SEALED"]
+    assert sealed and all(s.device_resident_bytes() == 0 for s in sealed)
+    # unbounded + no expiry never evicts
+    evicted = idx.caches.enforce_budget()
+    assert evicted == [] or all(isinstance(i, int) for i in evicted)
+    idx.close()
+
+
+def test_hot_path_breakdowns_sampled(storage, rng):
+    """The default (stacked/flat) path records pq_scan/traversal/rerank
+    breakdowns via sampled split-phase dispatch — batch 0 always samples
+    (reference records per-sealed-query breakdowns on its hot path,
+    fdb/FdbVectorIndex.java:99-116)."""
+    reset_for_test()
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 80)
+    idx.add_all(x)
+    run_builds(idx)
+    m = get_registry()
+    r_split = idx.query_batch(x[:4], 5)  # batch 0: sampled (split-phase)
+    assert m.histogram_values("vectorsearch.query.pq_scan_ms")
+    # flat mode has no traversal phase; gauge stays live at 0
+    assert m.histogram_values("vectorsearch.query.graph_traversal_ms") == [0.0]
+    assert m.histogram_values("vectorsearch.query.rerank_ms")
+    r_fused = idx.query_batch(x[:4], 5)  # batch 1: fused, no new breakdowns
+    assert len(m.histogram_values("vectorsearch.query.pq_scan_ms")) == 1
+    # split-phase dispatch returns identical results to the fused program
+    assert [[r.gid for r in q] for q in r_split] == [
+        [r.gid for r in q] for q in r_fused]
+    idx.close()
+
+
+def test_hot_path_breakdowns_graph_mode_and_off(storage, rng):
+    reset_for_test()
+    idx = make_index(storage, name="g", max_segment_size=50,
+                     sealed_search_mode="graph")
+    x = gaussian(rng, 80)
+    idx.add_all(x)
+    run_builds(idx)
+    m = get_registry()
+    idx.query_batch(x[:4], 5)
+    trav = m.histogram_values("vectorsearch.query.graph_traversal_ms")
+    assert trav and trav[0] > 0.0  # real traversal phase timing
+    assert m.histogram_values("vectorsearch.query.pq_scan_ms")
+    assert m.histogram_values("vectorsearch.query.rerank_ms")
+    idx.close()
+
+    reset_for_test()
+    idx2 = make_index(storage, name="off", max_segment_size=50,
+                      query_breakdown_sample_every=0)
+    idx2.add_all(x)
+    run_builds(idx2)
+    idx2.query_batch(x[:4], 5)
+    assert not m.histogram_values("vectorsearch.query.pq_scan_ms")
+    idx2.close()

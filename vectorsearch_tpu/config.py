@@ -76,6 +76,20 @@ class WorkerConfig:
     build_chunk_limit_bytes: int = 10 * 1024 * 1024
     build_chunk_soft_limit_ratio: float = 0.9
     build_size_check_every: int = 32
+    # HBM residency budget over segment device bundles (the TPU analogue of
+    # the reference's Caffeine cache bounds: 10-min expireAfterAccess on
+    # codebooks + 100k-entry adjacency cap, cache/SegmentCaches.java:39-128).
+    # 0 = unbounded. The ACTIVE segment is exempt (it is being written).
+    hbm_cache_limit_bytes: int = 0
+    cache_expire_after_access_s: float = 600.0  # 0 = never expire
+    # Hot-path breakdown sampling: every Nth query batch is dispatched as
+    # split phase programs (ADC scan / traversal / rerank) with a device sync
+    # between phases, so pq_scan_ms / graph_traversal_ms / rerank_ms are real
+    # measurements (reference records these per sealed query on its host-side
+    # async chain, fdb/FdbVectorIndex.java:99-116; here the phases fuse into
+    # ONE XLA program, so always-on splitting would forfeit the fusion —
+    # sampling keeps overhead at ~1/N). Batch 0 is always sampled; 0 = off.
+    query_breakdown_sample_every: int = 64
     metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
 
     # Data-format fallback defaults for global workers reconstructing configs
@@ -124,6 +138,12 @@ class WorkerConfig:
             raise ValueError("buildTxnSoftLimitRatio must be in (0,1)")
         if self.build_size_check_every <= 0:
             raise ValueError("buildSizeCheckEvery must be positive")
+        if self.hbm_cache_limit_bytes < 0:
+            raise ValueError("hbmCacheLimitBytes must be >= 0")
+        if self.cache_expire_after_access_s < 0:
+            raise ValueError("cacheExpireAfterAccess must be >= 0")
+        if self.query_breakdown_sample_every < 0:
+            raise ValueError("queryBreakdownSampleEvery must be >= 0")
 
     def replace(self, **kw) -> "WorkerConfig":
         return dataclasses.replace(self, **kw)
@@ -203,6 +223,9 @@ class VectorIndexConfig:
     build_chunk_limit_bytes: int = 10 * 1024 * 1024
     build_chunk_soft_limit_ratio: float = 0.9
     build_size_check_every: int = 32
+    hbm_cache_limit_bytes: int = 0
+    cache_expire_after_access_s: float = 600.0
+    query_breakdown_sample_every: int = 64
     metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
     global_task_queue_config: Optional[GlobalTaskQueueConfig] = None
 
@@ -224,6 +247,18 @@ class VectorIndexConfig:
     #   the same ADC distances (~22x QPS at >= recall on v5e; see
     #   core/index._sealed_query_step). graph: the reference's BEST_FIRST
     #   frontier expansion. BEAM mode / RANDOM_PIVOTS always traverse.
+    flat_ef_semantics: str = "buffer"  # "buffer" | "strict": the ef contract
+    #   in flat mode (api/SearchParams.java:20-42). The graph path spends
+    #   efSearch as an EXPLORATION budget, but its whole ef_buf candidate
+    #   buffer reaches the re-rank; flat mode has no exploration phase, so:
+    #   buffer (default): the candidate pool is the full static ef_buf
+    #     (efSearch bucketed to the next power of two, capped at the segment
+    #     size) — matches the graph path's effective re-rank semantics and
+    #     its measured recall (.99 on sift100k).
+    #   strict: the pool is masked to exactly the auto-tuned ef (the
+    #     reference's literal contract). Costs recall when ADC ranking is
+    #     noisy or top candidates are deleted (.99 -> .87 on sift100k) —
+    #     opt in for strict parity experiments.
     durable_task_queues: bool = False  # journal build/maintenance queues
     #   through the storage backend so in-flight tasks (attempts, retry
     #   throttles) survive restarts — the reference gets this from its
@@ -233,7 +268,15 @@ class VectorIndexConfig:
     device_placement: str = "default"  # "default" | "round_robin": spread
     #   segments across jax.devices() — the multi-chip scale-out axis (segments
     #   are the distribution unit, like FDB ranges in the reference)
-    mesh: Any = None  # optional jax.sharding.Mesh for multi-chip segment sharding
+    mesh: Any = None  # optional jax.sharding.Mesh: SEALED segments' row data
+    #   (vectors/codes/exists/alive) is sharded over the mesh's first axis,
+    #   queries run as SPMD programs with per-shard ADC scan + local exact
+    #   re-rank and an O(devices*k) all-gather merge riding ICI, and builds
+    #   train/encode PQ with psum-reduced k-means (parallel/mesh.py) — the
+    #   TPU answer to the reference's per-segment async fan-out + merge
+    #   (fdb/FdbVectorIndex.java:417-470). ACTIVE/PENDING segments stay on
+    #   the default device (their incremental appends would thrash shards).
+    #   Requires sealed_search_mode="flat" and default device placement.
 
     def __post_init__(self):
         if self.storage is None:
@@ -263,12 +306,31 @@ class VectorIndexConfig:
             raise ValueError("oversample must be positive")
         if self.sealed_search_mode not in ("flat", "graph"):
             raise ValueError("sealedSearchMode must be 'flat' or 'graph'")
+        if self.flat_ef_semantics not in ("buffer", "strict"):
+            raise ValueError("flatEfSemantics must be 'buffer' or 'strict'")
         # Validate operational fields by constructing the effective WorkerConfig.
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
         if self.pq_train_iters <= 0:
             raise ValueError("pqTrainIters must be positive")
         if self.device_placement not in ("default", "round_robin"):
             raise ValueError("devicePlacement must be 'default' or 'round_robin'")
+        if self.mesh is not None:
+            if not hasattr(self.mesh, "devices"):
+                raise ValueError("mesh must be a jax.sharding.Mesh")
+            if self.sealed_search_mode != "flat":
+                raise ValueError("mesh requires sealedSearchMode='flat' "
+                                 "(sharded graph traversal is not supported)")
+            if self.device_placement != "default":
+                raise ValueError("mesh and devicePlacement='round_robin' are "
+                                 "mutually exclusive distribution modes")
+            n_shards = int(self.mesh.size)
+            lane = 128  # segment rows pad to this (core/segment.pad_cap)
+            cap_pad = max(lane, -(-self.max_segment_size // lane) * lane)
+            if cap_pad % n_shards != 0:
+                raise ValueError(
+                    f"padded segment capacity ({cap_pad}) must divide evenly "
+                    f"over the mesh ({n_shards} devices)"
+                )
 
     def _build_effective_worker(self) -> WorkerConfig:
         if self.worker_config is not None:
@@ -297,6 +359,9 @@ class VectorIndexConfig:
             build_chunk_limit_bytes=self.build_chunk_limit_bytes,
             build_chunk_soft_limit_ratio=self.build_chunk_soft_limit_ratio,
             build_size_check_every=self.build_size_check_every,
+            hbm_cache_limit_bytes=self.hbm_cache_limit_bytes,
+            cache_expire_after_access_s=self.cache_expire_after_access_s,
+            query_breakdown_sample_every=self.query_breakdown_sample_every,
             metric_attributes=dict(self.metric_attributes),
         )
 

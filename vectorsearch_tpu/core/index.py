@@ -62,6 +62,18 @@ from vectorsearch_tpu.utils.metrics import span as metrics_span
 LOG = logging.getLogger("vectorsearch_tpu.index")
 
 
+# Stand-in adjacency for flat-mode sealed queries (the flat branch never
+# reads it; a real [cap, R] upload would waste HBM + transfer for nothing).
+_DUMMY_ADJ = None
+
+
+def _dummy_adj():
+    global _DUMMY_ADJ
+    if _DUMMY_ADJ is None:
+        _DUMMY_ADJ = jnp.full((1, 1), -1, jnp.int32)
+    return _DUMMY_ADJ
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     """Rounds up to a power of two for jit shape reuse."""
     b = lo
@@ -70,18 +82,79 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("ef_buf", "flat_strict"))
+def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
+                      flat_strict=False):
+    """Flat-mode candidate pool: LUT -> fused negated-ADC scan -> global
+    approx top-ef. ``flat_strict`` masks the (descending-sorted) pool down to
+    the dynamic ef — the reference's literal efSearch contract
+    (api/SearchParams.java:20-42); default keeps the full static buffer
+    (config.flat_ef_semantics)."""
+    lut = pq_ops.build_lut(q, codebook)
+    # The scores scan fuses negation + validity mask + bf16 cast into the
+    # Pallas kernel, so approx_max_k is its direct consumer.
+    neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
+    neg, idx = jax.lax.approx_max_k(neg_scores, ef_buf, recall_target=0.95)
+    ok = neg > -jnp.inf
+    if flat_strict:
+        ok = ok & (
+            jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+            < jnp.asarray(ef_dyn, jnp.int32)
+        )
+    return jnp.where(ok, idx.astype(jnp.int32), -1)
+
+
+@jax.jit
+def _sealed_approx_scan(q, codebook, codes, exists):
+    """Graph-mode phase 1: LUT build + full ADC scan -> approx[Q, N]."""
+    lut = pq_ops.build_lut(q, codebook)
+    return pq_ops.adc_scan_auto(lut, codes, exists)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat",
+    ),
+)
+def _sealed_seed_expand(
+    approx, adjacency, exists, ef_dyn, beam_dyn,
+    *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier,
+):
+    """Graph-mode phase 2: approx seeds + frontier expansion -> cand pool."""
+    neg_seed, seed_idx = jax.lax.approx_max_k(
+        -approx, beam_buf, recall_target=0.95
+    )
+    seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
+    cand_idx, _cand_d = traversal_ops.graph_expand(
+        approx, adjacency, exists, seed_idx, -neg_seed, ef_dyn, beam_dyn,
+        ef_buf=ef_buf, beam_buf=beam_buf,
+        max_steps=max_steps, min_steps=min_steps,
+        refine_frontier=refine_frontier,
+    )
+    return cand_idx
+
+
+@functools.partial(jax.jit, static_argnames=("rr", "metric"))
+def _sealed_rerank_slots(q, vectors, alive, cand_idx, slot_base, *, rr, metric):
+    """Phase 3: exact re-rank + segment-slot plane."""
+    sc, di, iv = traversal_ops.exact_rerank(q, vectors, alive, cand_idx, rr, metric)
+    slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
+    return sc, di, iv, slots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
+        "rr", "metric", "flat", "flat_strict",
     ),
 )
 def _sealed_query_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False,
+    flat=False, flat_strict=False,
 ):
     """The fused sealed-segment query: LUT build -> full ADC scan -> seed
     top-k -> graph expansion -> exact re-rank, one XLA program
@@ -97,30 +170,23 @@ def _sealed_query_step(
     per step at Q=512/N=100k while the whole flat pipeline runs in ~9 ms).
     The graph path remains for BEAM-mode parity and scan-free designs.
     """
-    lut = pq_ops.build_lut(q, codebook)
     if flat:
-        # Pool = the full static buffer (ef bucketed up to ef_buf), matching
-        # the graph path's effective semantics: there too the whole ef_buf
-        # candidate buffer reaches the re-rank — ef_dyn only gates further
-        # EXPLORATION, a concept with no flat counterpart. Masking the pool
-        # down to ef_dyn measured recall .99 -> .87 on sift100k while the
-        # graph path at the same ef stayed .99 via its full buffer.
-        # The scores scan fuses negation + validity mask + bf16 cast into the
-        # Pallas kernel, so approx_max_k is its direct consumer.
-        neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
-        neg, idx = jax.lax.approx_max_k(neg_scores, ef_buf, recall_target=0.95)
-        cand_idx = jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
-    else:
-        approx = pq_ops.adc_scan_auto(lut, codes, exists)
-        # approx_max_k: the seeds are approximate by construction; a full
-        # top_k over N columns is a per-row sort and dominates at 100k rows
-        neg_seed, seed_idx = jax.lax.approx_max_k(
-            -approx, beam_buf, recall_target=0.95
+        # Pool = the full static buffer by default (ef bucketed up to
+        # ef_buf), matching the graph path's effective semantics: there too
+        # the whole ef_buf candidate buffer reaches the re-rank — ef_dyn only
+        # gates further EXPLORATION, a concept with no flat counterpart.
+        # flat_strict (config.flat_ef_semantics="strict") masks the pool to
+        # ef_dyn for literal efSearch parity (recall .99 -> .87 on sift100k).
+        cand_idx = _sealed_flat_pool(
+            q, codebook, codes, exists, ef_dyn,
+            ef_buf=ef_buf, flat_strict=flat_strict,
         )
-        seed_idx = jnp.where(jnp.isfinite(neg_seed), seed_idx.astype(jnp.int32), -1)
-        cand_idx, _cand_d = traversal_ops.graph_expand(
-            approx, adjacency, exists, seed_idx, -neg_seed,
-            ef_dyn, beam_dyn,
+    else:
+        # approx_max_k inside: the seeds are approximate by construction; a
+        # full top_k over N columns is a per-row sort and dominates at 100k
+        approx = _sealed_approx_scan(q, codebook, codes, exists)
+        cand_idx = _sealed_seed_expand(
+            approx, adjacency, exists, ef_dyn, beam_dyn,
             ef_buf=ef_buf, beam_buf=beam_buf,
             max_steps=max_steps, min_steps=min_steps,
             refine_frontier=refine_frontier,
@@ -132,14 +198,14 @@ def _sealed_query_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat",
+        "rr", "metric", "flat", "flat_strict",
     ),
 )
 def _sealed_query_slot_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn, slot_base,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False,
+    flat=False, flat_strict=False,
 ):
     """_sealed_query_step plus the per-result segment-slot array, so the
     per-segment dispatch is exactly one XLA call."""
@@ -148,7 +214,7 @@ def _sealed_query_slot_step(
         ef_dyn, beam_dyn,
         ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
         min_steps=min_steps, refine_frontier=refine_frontier,
-        rr=rr, metric=metric, flat=flat,
+        rr=rr, metric=metric, flat=flat, flat_strict=flat_strict,
     )
     slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
     return sc, di, iv, slots
@@ -158,7 +224,7 @@ def _sealed_query_slot_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat",
+        "rr", "metric", "flat", "flat_strict",
     ),
 )
 def _stacked_sealed_query(
@@ -173,7 +239,7 @@ def _stacked_sealed_query(
     beam_arr,  # i32[S] per-segment tuned beam
     slot_base,  # i32 scalar: global segment-slot offset of this stack
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False,
+    flat=False, flat_strict=False,
 ):
     """ALL sealed segments in one XLA program: vmap of the fused sealed query
     over the stacked segment axis, results flattened to [Q, S*rr] with a
@@ -184,7 +250,7 @@ def _stacked_sealed_query(
             q, vec, cb, code, adj, ex, al, ef, beam,
             ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
             min_steps=min_steps, refine_frontier=refine_frontier,
-            rr=rr, metric=metric, flat=flat,
+            rr=rr, metric=metric, flat=flat, flat_strict=flat_strict,
         )
 
     s, d, i = jax.vmap(one)(
@@ -273,7 +339,7 @@ def _multi_sealed_query(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat",
+        "rr", "metric", "flat", "flat_strict",
     ),
 )
 def _unified_sealed_query(
@@ -288,7 +354,7 @@ def _unified_sealed_query(
     beam_dyn,  # i32 scalar
     slot_base,  # python int
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False,
+    flat=False, flat_strict=False,
 ):
     """Unified cross-segment search (TPU-native extension; opt-in via
     config.unified_search): all sealed segments of a shape group form ONE
@@ -309,9 +375,16 @@ def _unified_sealed_query(
     approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
 
     if flat:
-        # full-buffer pool; see _sealed_query_step for the ef semantics note
+        # full-buffer pool by default; see _sealed_flat_pool for the ef
+        # contract (flat_strict masks to the shared dynamic ef)
         neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
-        cand_idx = jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32), -1)
+        ok = jnp.isfinite(neg)
+        if flat_strict:
+            ok = ok & (
+                jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+                < jnp.asarray(ef_dyn, jnp.int32)
+            )
+        cand_idx = jnp.where(ok, idx.astype(jnp.int32), -1)
     else:
         neg_seed, seed_idx = jax.lax.approx_max_k(
             -approx, beam_buf, recall_target=0.95
@@ -401,6 +474,7 @@ class VectorIndex:
     def __init__(self, config: VectorIndexConfig):
         self.config = config
         self._beam_warned = False
+        self._qb_count = 0  # batches served; drives breakdown sampling
         self._closed = False
         self._metrics = get_registry()
 
@@ -444,7 +518,12 @@ class VectorIndex:
         self.store = VectorStore(config, self.build_queue)
         self.store.create_or_open()
         self._stacks = StackCache()
-        self.caches = SegmentCaches(self.store)
+        eff_w = config.effective
+        self.caches = SegmentCaches(
+            self.store,
+            hbm_limit_bytes=eff_w.hbm_cache_limit_bytes,
+            expire_after_access_s=eff_w.cache_expire_after_access_s,
+        )
         self.build_service = SegmentBuildService(config, self.store)
         self.maintenance = MaintenanceService(
             config, self.store, self.build_service, self.maintenance_queue
@@ -664,6 +743,9 @@ class VectorIndex:
             # In-process prefetch is synchronous either way; the sync flag is
             # honored for API parity (reference :377-416).
             self.caches.prefetch_codebooks(sealed_segs)
+        # LRU bookkeeping for the HBM residency budget (reference analogue:
+        # Caffeine expireAfterAccess/maximumSize, cache/SegmentCaches.java)
+        self.caches.touch(brute_segs + sealed_segs)
 
         qd = jnp.asarray(qs)
         seg_list: list[Segment] = []  # global slot -> Segment
@@ -702,6 +784,14 @@ class VectorIndex:
             self.config.sealed_search_mode == "flat"
             and params.mode == Mode.BEST_FIRST
         )
+        flat_strict = self.config.flat_ef_semantics == "strict"
+        # Breakdown sampling (reference records pq_scan/traversal/rerank per
+        # sealed query, fdb/FdbVectorIndex.java:99-116; our phases fuse into
+        # one XLA program, so every Nth batch dispatches them as split
+        # programs with a device sync between — real timings, ~1/N overhead).
+        every = self.config.effective.query_breakdown_sample_every
+        profile_breakdown = every > 0 and (self._qb_count % every == 0)
+        self._qb_count += 1
         for (cap, _dev), group in sgroups.items():
             if not use_stacked:
                 for seg in group:
@@ -724,6 +814,30 @@ class VectorIndex:
                 max_steps = max(params.max_iters, params.min_hops)
                 min_steps = params.min_hops
                 refine = params.refine_frontier
+
+            # Mesh-sharded SPMD path: each sealed segment's rows are sharded
+            # over config.mesh; per-shard scan+rerank, O(devices*rr) ICI merge
+            # (parallel/mesh.py::sharded_flat_query). Requires flat mode
+            # (validated at config); RANDOM_PIVOTS took the fallback above.
+            if self.config.mesh is not None and flat:
+                from vectorsearch_tpu.parallel import mesh as mesh_ops
+
+                rr = min(per_seg_limit, ef_buf)
+                fn = mesh_ops.sharded_flat_query(
+                    self.config.mesh, ef_buf=ef_buf, rr=rr,
+                    metric=self.config.metric, flat_strict=flat_strict,
+                )
+                for seg, (tuned_ef, _tb) in zip(group, tuned):
+                    base = len(seg_list)
+                    seg_list.append(seg)
+                    entries.append(
+                        fn(
+                            qd, self.caches.get_codebook(seg), seg.codes_dev,
+                            seg.exists_dev, seg.vectors_dev, seg.alive_dev,
+                            jnp.int32(tuned_ef), jnp.int32(base),
+                        )
+                    )
+                continue
 
             # Unified cross-segment search (opt-in): one disconnected graph,
             # one per-query budget, one program for the whole group.
@@ -751,6 +865,7 @@ class VectorIndex:
                         refine_frontier=refine,
                         rr=min(per_seg_limit * len(group), u_ef_buf),
                         metric=self.config.metric, flat=flat,
+                        flat_strict=flat_strict,
                     )
                 )
                 continue
@@ -787,19 +902,38 @@ class VectorIndex:
             for seg, (tuned_ef, tuned_beam) in zip(group, tuned):
                 base = len(seg_list)
                 seg_list.append(seg)
+                rr = min(per_seg_limit, ef_buf)
+                if profile_breakdown:
+                    entry = self._sealed_split_profiled(
+                        qd, seg, tuned_ef, tuned_beam, base,
+                        ef_buf=ef_buf, beam_buf=beam_buf,
+                        max_steps=max_steps, min_steps=min_steps,
+                        refine_frontier=refine, rr=rr,
+                        flat=flat, flat_strict=flat_strict,
+                    )
+                    entries.append(entry)
+                    continue
+                # flat mode never traverses: skip the adjacency upload
+                # entirely (HBM saved per sealed segment; XLA DCEs the dummy)
+                adj = (
+                    _dummy_adj() if flat else self.caches.get_adjacency(seg)
+                )
                 sc, di, iv, slots = _sealed_query_slot_step(
                     qd, seg.vectors_dev, self.caches.get_codebook(seg),
-                    seg.codes_dev, self.caches.get_adjacency(seg),
+                    seg.codes_dev, adj,
                     seg.exists_dev, seg.alive_dev,
                     tuned_ef, tuned_beam, base,
                     ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
                     min_steps=min_steps, refine_frontier=refine,
-                    rr=min(per_seg_limit, ef_buf), metric=self.config.metric,
-                    flat=flat,
+                    rr=rr, metric=self.config.metric,
+                    flat=flat, flat_strict=flat_strict,
                 )
                 entries.append((sc, di, iv, slots))
 
         results: list[list[SearchResult]] = [[] for _ in range(nq)]
+        # mesh entries are committed to the mesh's device set; brute entries
+        # to the default device — a single merge program can't mix them
+        multi_device = multi_device or self.config.mesh is not None
         if entries:
             if multi_device and len(entries) > 1:
                 # results live on different chips: merge the tiny per-entry
@@ -857,6 +991,7 @@ class VectorIndex:
                     "vectorsearch.query.results_returned",
                     float(np.mean(np.sum(gids_a >= 0, axis=1))),
                 )
+                self.caches.enforce_budget()
                 return gids_a, scores_a, dists_a
             # Result building is GIL-bound Python (nq*k objects per batch).
             # Preferred: the C extension walks the merged planes and creates
@@ -913,6 +1048,7 @@ class VectorIndex:
             "vectorsearch.query.results_returned",
             float(np.mean([len(r) for r in results])) if results else 0.0,
         )
+        self.caches.enforce_budget()
         if as_arrays:  # no entries: nothing searchable
             return (
                 np.full((nq, k), -1, np.int64),
@@ -936,6 +1072,63 @@ class VectorIndex:
             min(n_codes, max(params.beam_width, min(64, math.ceil(math.sqrt(n_codes))))),
         )
         return tuned_ef, tuned_beam
+
+    # -- sealed path, sampled breakdown profiling ------------------------------
+
+    def _sealed_split_profiled(
+        self, qd, seg: Segment, tuned_ef, tuned_beam, slot_base,
+        *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr,
+        flat, flat_strict,
+    ):
+        """The hot-path sealed query dispatched as split phase programs with a
+        device sync after each, recording the reference's per-phase breakdown
+        histograms (fdb/FdbVectorIndex.java:99-116) with real measurements.
+        Results are identical to the fused program; used on sampled batches
+        only (config.query_breakdown_sample_every)."""
+        codebook = self.caches.get_codebook(seg)
+        t0 = time.monotonic()
+        if flat:
+            cand_idx = _sealed_flat_pool(
+                qd, codebook, seg.codes_dev, seg.exists_dev,
+                jnp.int32(tuned_ef), ef_buf=ef_buf, flat_strict=flat_strict,
+            )
+            jax.block_until_ready(cand_idx)
+            t1 = time.monotonic()
+            self._metrics.record(
+                "vectorsearch.query.pq_scan_ms", (t1 - t0) * 1000.0
+            )
+            # flat mode has no traversal phase; 0 keeps the instrument live
+            self._metrics.record("vectorsearch.query.graph_traversal_ms", 0.0)
+        else:
+            approx = _sealed_approx_scan(
+                qd, codebook, seg.codes_dev, seg.exists_dev
+            )
+            jax.block_until_ready(approx)
+            t1 = time.monotonic()
+            self._metrics.record(
+                "vectorsearch.query.pq_scan_ms", (t1 - t0) * 1000.0
+            )
+            cand_idx = _sealed_seed_expand(
+                approx, self.caches.get_adjacency(seg), seg.exists_dev,
+                jnp.int32(tuned_ef), jnp.int32(tuned_beam),
+                ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
+                min_steps=min_steps, refine_frontier=refine_frontier,
+            )
+            jax.block_until_ready(cand_idx)
+            t2 = time.monotonic()
+            self._metrics.record(
+                "vectorsearch.query.graph_traversal_ms", (t2 - t1) * 1000.0
+            )
+            t1 = t2
+        entry = _sealed_rerank_slots(
+            qd, seg.vectors_dev, seg.alive_dev, cand_idx, slot_base,
+            rr=rr, metric=self.config.metric,
+        )
+        jax.block_until_ready(entry)
+        self._metrics.record(
+            "vectorsearch.query.rerank_ms", (time.monotonic() - t1) * 1000.0
+        )
+        return entry
 
     # -- sealed path, RANDOM_PIVOTS fallback (reference :730-837) -------------
 

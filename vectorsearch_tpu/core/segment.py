@@ -73,12 +73,17 @@ class Segment:
     the owning index's lock; device sync is internally locked so concurrent
     readers can trigger it safely."""
 
-    def __init__(self, meta: SegmentMeta, capacity: int, dim: int, device=None):
+    def __init__(self, meta: SegmentMeta, capacity: int, dim: int, device=None,
+                 mesh=None):
         self.meta = meta
         self.capacity = capacity
         self.cap_pad = pad_cap(capacity)
         self.dim = dim
         self.device = device
+        # jax.sharding.Mesh: SEALED/COMPACTING row data shards over the mesh
+        # (queries run SPMD, parallel/mesh.py); ACTIVE/PENDING stay on the
+        # default device — their incremental appends would thrash shards.
+        self.mesh = mesh
 
         self.vectors_np = np.zeros((self.cap_pad, dim), np.float32)
         self.exists_np = np.zeros(self.cap_pad, bool)
@@ -228,6 +233,28 @@ class Segment:
             self._codes_dev = None
             self._codebook_dev = None
             self._adjacency_dev = None
+            if self.mesh is not None:
+                # row planes were placed unsharded while ACTIVE; drop them so
+                # the first sealed access re-places them mesh-sharded
+                self._vectors_dev = None
+                self._alive_dev = None
+                self._exists_dev = None
+                self._dev_rows = 0
+                self._pending_flag_updates.clear()
+
+    def device_resident_bytes(self) -> int:
+        """Bytes of HBM held by this segment's resident device mirrors.
+        Does NOT trigger materialization (reads the private fields only) —
+        the HBM budget enforcement must never cause uploads."""
+        with self._dev_lock:
+            return sum(
+                a.nbytes
+                for a in (
+                    self._vectors_dev, self._alive_dev, self._exists_dev,
+                    self._codes_dev, self._codebook_dev, self._adjacency_dev,
+                )
+                if a is not None
+            )
 
     def invalidate_device(self) -> None:
         self.version += 1
@@ -243,21 +270,54 @@ class Segment:
 
     # ---------------------------------------------------------------- device
 
+    def _sharded_now(self) -> bool:
+        """Row data shards over the mesh once the segment is graph-state
+        (sealed artifacts exist or the state says so)."""
+        return self.mesh is not None and self.meta.state in (
+            SegmentState.SEALED, SegmentState.COMPACTING
+        )
+
     def _put(self, arr: np.ndarray) -> jax.Array:
         if self.device is not None:
             return jax.device_put(arr, self.device)
         return jnp.asarray(arr)
+
+    def _put_rows(self, arr: np.ndarray) -> jax.Array:
+        """Row-dim placement: sharded over the mesh for sealed segments."""
+        if self._sharded_now():
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                arr, NamedSharding(self.mesh, PartitionSpec("data"))
+            )
+        return self._put(arr)
+
+    def _put_replicated(self, arr: np.ndarray) -> jax.Array:
+        if self._sharded_now():
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(arr, NamedSharding(self.mesh, PartitionSpec()))
+        return self._put(arr)
 
     def sync_device(self) -> None:
         """Brings the device mirror up to date: uploads appended row ranges and
         applies pending tombstone flips (incremental, no full re-upload)."""
         with self._dev_lock:
             if self._vectors_dev is None:
-                self._vectors_dev = self._put(self.vectors_np)
-                self._alive_dev = self._put(self.alive_np)
-                self._exists_dev = self._put(self.exists_np)
+                self._vectors_dev = self._put_rows(self.vectors_np)
+                self._alive_dev = self._put_rows(self.alive_np)
+                self._exists_dev = self._put_rows(self.exists_np)
                 self._dev_rows = self.next_row
                 self._pending_flag_updates.clear()
+                return
+            if self._sharded_now():
+                # Sealed mesh-sharded segments never append; tombstone flips
+                # re-place the (tiny) alive plane wholesale — host numpy is
+                # authoritative, and a scatter onto a sharded operand would
+                # compile a collective-heavy program for no benefit.
+                if self._pending_flag_updates:
+                    self._alive_dev = self._put_rows(self.alive_np)
+                    self._pending_flag_updates.clear()
                 return
             if self.next_row > self._dev_rows:
                 start, stop = self._dev_rows, self.next_row
@@ -328,14 +388,14 @@ class Segment:
     def codes_dev(self) -> Optional[jax.Array]:
         with self._dev_lock:
             if self._codes_dev is None and self.codes_np is not None:
-                self._codes_dev = self._put(self.codes_np)
+                self._codes_dev = self._put_rows(self.codes_np)
             return self._codes_dev
 
     @property
     def codebook_dev(self) -> Optional[jax.Array]:
         with self._dev_lock:
             if self._codebook_dev is None and self.codebook_np is not None:
-                self._codebook_dev = self._put(self.codebook_np)
+                self._codebook_dev = self._put_replicated(self.codebook_np)
             return self._codebook_dev
 
     @property
@@ -364,14 +424,15 @@ class Segment:
 
     @staticmethod
     def from_arrays(
-        meta: SegmentMeta, capacity: int, dim: int, rec: dict, device=None
+        meta: SegmentMeta, capacity: int, dim: int, rec: dict, device=None,
+        mesh=None,
     ) -> "Segment":
         arrays = rec["arrays"]
         if "capacity" in arrays:
             # compacted segments may exceed maxSegmentSize (reference segments
             # have no physical cap); restore the persisted capacity
             capacity = max(capacity, int(arrays["capacity"][0]))
-        seg = Segment(meta, capacity, dim, device=device)
+        seg = Segment(meta, capacity, dim, device=device, mesh=mesh)
         n = int(arrays["next_row"][0])
         seg.next_row = n
         seg.vectors_np[:n] = arrays["vectors"]

@@ -91,7 +91,7 @@ class VectorStore:
         )
         return Segment(
             meta, capacity or self.config.max_segment_size, self.config.dimension,
-            device=self._segment_device(seg_id),
+            device=self._segment_device(seg_id), mesh=self.config.mesh,
         )
 
     def _load_state(self) -> None:
@@ -129,6 +129,7 @@ class VectorStore:
                     seg = Segment.from_arrays(
                         meta, self.config.max_segment_size, self.config.dimension,
                         rec, device=self._segment_device(sid),
+                        mesh=self.config.mesh,
                     )
                 self.segments[sid] = seg
             # Per-mutation durability: replay each segment's WAL over its
@@ -234,7 +235,7 @@ class VectorStore:
                     continue
                 self.segments[sid] = Segment.from_arrays(
                     meta, self.config.max_segment_size, self.config.dimension,
-                    rec, device=self._segment_device(sid),
+                    rec, device=self._segment_device(sid), mesh=self.config.mesh,
                 )
                 changed.append(sid)
                 LOG.debug("refreshed segment %d from storage (SEALED)", sid)

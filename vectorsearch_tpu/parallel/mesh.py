@@ -118,6 +118,71 @@ def sharded_adc_topk(mesh: Mesh, k: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_flat_query(
+    mesh: Mesh, *, ef_buf: int, rr: int, metric: str = "L2",
+    flat_strict: bool = False,
+):
+    """Returns a jitted SPMD sealed-segment flat query
+    (q, codebook, codes_sh, exists_sh, vectors_sh, alive_sh, ef_dyn,
+    slot_base) -> (scores f32[Q,rr], dists f32[Q,rr], vids i32[Q,rr],
+    slots i32[Q,rr]) with GLOBAL row ids.
+
+    The whole per-shard pipeline is local — fused ADC scores scan, approx
+    top-ef pool, exact re-rank on the shard's raw vectors — and only the
+    re-ranked (devices x rr) candidates ride the ICI all-gather, replacing
+    the reference's per-segment async fan-out + merge
+    (fdb/FdbVectorIndex.java:417-470) with one collective of O(devices*rr).
+
+    ``flat_strict`` applies the literal efSearch contract per shard (each
+    shard's pool masked to ef_dyn; the merged pool is then at most
+    devices*ef_dyn — a superset of the single-device strict pool, documented
+    in config.flat_ef_semantics)."""
+    from vectorsearch_tpu.ops import pq as pq_ops
+    from vectorsearch_tpu.ops import traversal as traversal_ops
+
+    def local_fn(q, codebook, codes, exists, vectors, alive, ef_dyn, slot_base):
+        n_local = codes.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        lut = pq_ops.build_lut(q, codebook)
+        neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
+        local_ef = min(ef_buf, n_local)
+        neg, idx = jax.lax.approx_max_k(neg_scores, local_ef, recall_target=0.95)
+        ok = neg > -jnp.inf
+        if flat_strict:
+            ok = ok & (
+                jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+                < jnp.asarray(ef_dyn, jnp.int32)
+            )
+        cand = jnp.where(ok, idx.astype(jnp.int32), -1)
+        local_rr = min(rr, local_ef)
+        sc, di, iv = traversal_ops.exact_rerank(
+            q, vectors, alive, cand, local_rr, metric
+        )
+        gidx = jnp.where(iv >= 0, iv + shard * n_local, -1)
+        all_s = jax.lax.all_gather(sc, DATA_AXIS, axis=1, tiled=True)
+        all_d = jax.lax.all_gather(di, DATA_AXIS, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        fin_s, pos = jax.lax.top_k(all_s, min(rr, all_s.shape[1]))
+        fin_d = jnp.take_along_axis(all_d, pos, axis=1)
+        fin_i = jnp.take_along_axis(all_i, pos, axis=1)
+        slots = jnp.where(fin_i >= 0, jnp.asarray(slot_base, jnp.int32), -1)
+        return fin_s, fin_d, fin_i, slots
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+            P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_pq_train(mesh: Mesh, m: int, k: int, iters: int):
     """Returns a jitted SPMD k-means trainer
     (vectors_sharded f32[N,D], valid_sharded bool[N], key) -> codebook f32[M,K,D/M].
@@ -188,6 +253,7 @@ def sharded_pq_train(mesh: Mesh, m: int, k: int, iters: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_pq_encode(mesh: Mesh):
     """Returns a jitted SPMD encoder (vectors_sharded, codebook, valid_sharded)
     -> codes u8[N, M] row-sharded like the input."""
