@@ -433,3 +433,29 @@ def test_cache_sizes_reported(storage, rng):
     assert idx_g.get_codebook_cache_size() == 1
     assert idx_g.get_adjacency_cache_size() == 50
     idx_g.close()
+
+
+def test_async_facade(storage, rng):
+    """Future-returning variants mirror the reference's async surface
+    (api/VectorIndex.java:56-191); query_async coalesces concurrent callers
+    through the QueryBatcher."""
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 80)
+    fut = idx.add_all_async(x, [f"p{i}".encode() for i in range(80)])
+    gids = fut.result(timeout=30)
+    assert gids == list(range(80))
+    run_builds(idx)
+
+    futs = [idx.query_async(x[i], 5) for i in range(8)]
+    for i, f in enumerate(futs):
+        res = f.result(timeout=30)
+        assert res[0].gid == gids[i]
+        assert res[0].payload == f"p{i}".encode()
+
+    idx.delete_async(gids[0]).result(timeout=30)
+    assert idx.query_async(x[0], 5).result(timeout=30)[0].gid != gids[0]
+    arr_res = idx.query_batch_async(x[:4], 5).result(timeout=30)
+    assert len(arr_res) == 4
+    assert idx.resolve_ids_async([gids[1]]).result(timeout=30)[0][0] >= 0
+    assert idx.await_indexing_complete_async().result(timeout=30) is True
+    idx.close()  # shuts the executor + batcher down cleanly

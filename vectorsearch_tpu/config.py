@@ -90,6 +90,12 @@ class WorkerConfig:
     # ONE XLA program, so always-on splitting would forfeit the fusion —
     # sampling keeps overhead at ~1/N). Batch 0 is always sampled; 0 = off.
     query_breakdown_sample_every: int = 64
+    # Cross-process writer lease: mutating processes heartbeat a TTL lease in
+    # storage; vacuum/compaction REFUSES to run while a live lease from
+    # another process exists (gid remaps under a concurrent foreign writer
+    # would corrupt resolution — the reference gets this safety from FDB
+    # transactions, tasks/MaintenanceService.java:326-386). 0 disables.
+    writer_lease_ttl_ms: int = 10_000
     metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
 
     # Data-format fallback defaults for global workers reconstructing configs
@@ -144,6 +150,8 @@ class WorkerConfig:
             raise ValueError("cacheExpireAfterAccess must be >= 0")
         if self.query_breakdown_sample_every < 0:
             raise ValueError("queryBreakdownSampleEvery must be >= 0")
+        if self.writer_lease_ttl_ms < 0:
+            raise ValueError("writerLeaseTtlMs must be >= 0")
 
     def replace(self, **kw) -> "WorkerConfig":
         return dataclasses.replace(self, **kw)
@@ -226,6 +234,7 @@ class VectorIndexConfig:
     hbm_cache_limit_bytes: int = 0
     cache_expire_after_access_s: float = 600.0
     query_breakdown_sample_every: int = 64
+    writer_lease_ttl_ms: int = 10_000
     metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)
     global_task_queue_config: Optional[GlobalTaskQueueConfig] = None
 
@@ -362,6 +371,7 @@ class VectorIndexConfig:
             hbm_cache_limit_bytes=self.hbm_cache_limit_bytes,
             cache_expire_after_access_s=self.cache_expire_after_access_s,
             query_breakdown_sample_every=self.query_breakdown_sample_every,
+            writer_lease_ttl_ms=self.writer_lease_ttl_ms,
             metric_attributes=dict(self.metric_attributes),
         )
 

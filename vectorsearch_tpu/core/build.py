@@ -102,18 +102,40 @@ class SegmentBuildService:
             vectors = np.array(seg.vectors_np)  # [cap_pad, D]
             exists = np.array(seg.exists_np)
 
-        dev = cfg.device
-        xs = jax.device_put(vectors, dev) if dev else jax.numpy.asarray(vectors)
-        ex = jax.device_put(exists, dev) if dev else jax.numpy.asarray(exists)
-
         key = jax.random.PRNGKey(cfg.pq_train_seed)
-        codebook = pq_ops.pq_train(xs, ex, m=m, k=k, iters=cfg.pq_train_iters, key=key)
-        if not bool(np.all(np.isfinite(np.asarray(codebook)))):
-            # fail the build so the queue retries (reference :174-185)
-            raise RuntimeError(
-                f"PQ training failed for segment {seg_id} (m={m}, k={k})"
+        if cfg.mesh is not None:
+            # Distributed build: k-means assign local / update psum-reduced,
+            # encode row-sharded (parallel/mesh.py; reference analogue: the
+            # chunked single-process trainer, tasks/SegmentBuildService.java).
+            from vectorsearch_tpu.parallel import mesh as mesh_ops
+
+            xs = mesh_ops.shard_rows(cfg.mesh, jax.numpy.asarray(vectors))
+            ex = mesh_ops.shard_rows(cfg.mesh, jax.numpy.asarray(exists))
+            codebook = mesh_ops.sharded_pq_train(
+                cfg.mesh, m, k, cfg.pq_train_iters
+            )(xs, ex, key)
+            if not bool(np.all(np.isfinite(np.asarray(codebook)))):
+                raise RuntimeError(
+                    f"PQ training failed for segment {seg_id} (m={m}, k={k})"
+                )
+            codes = mesh_ops.sharded_pq_encode(cfg.mesh)(xs, codebook, ex)
+            # graph build stays single-program (adjacency is only used by the
+            # graph search mode, which mesh excludes; kept for artifact parity)
+            xs = jax.numpy.asarray(vectors)
+            ex = jax.numpy.asarray(exists)
+        else:
+            dev = cfg.device
+            xs = jax.device_put(vectors, dev) if dev else jax.numpy.asarray(vectors)
+            ex = jax.device_put(exists, dev) if dev else jax.numpy.asarray(exists)
+            codebook = pq_ops.pq_train(
+                xs, ex, m=m, k=k, iters=cfg.pq_train_iters, key=key
             )
-        codes = pq_ops.pq_encode(xs, codebook, ex)
+            if not bool(np.all(np.isfinite(np.asarray(codebook)))):
+                # fail the build so the queue retries (reference :174-185)
+                raise RuntimeError(
+                    f"PQ training failed for segment {seg_id} (m={m}, k={k})"
+                )
+            codes = pq_ops.pq_encode(xs, codebook, ex)
 
         degree = max(0, min(cfg.graph_degree, max(0, n_rows - 1)))
         l_build = max(degree, cfg.graph_build_breadth)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import threading
 import time
 from typing import Optional, Sequence
 
@@ -475,6 +476,9 @@ class VectorIndex:
         self.config = config
         self._beam_warned = False
         self._qb_count = 0  # batches served; drives breakdown sampling
+        self._async_pool = None  # lazy ThreadPoolExecutor (async facade)
+        self._async_batcher = None  # lazy QueryBatcher (query coalescing)
+        self._async_lock = threading.Lock()
         self._closed = False
         self._metrics = get_registry()
 
@@ -554,6 +558,10 @@ class VectorIndex:
         if self._closed:
             return
         self._closed = True
+        if self._async_batcher is not None:
+            self._async_batcher.close()
+        if self._async_pool is not None:
+            self._async_pool.shutdown(wait=True)
         if self._build_pool:
             self._build_pool.close()
         if self._maint_pool:
@@ -598,6 +606,64 @@ class VectorIndex:
         affected = self.store.delete_batch(gids)
         for seg_id in set(affected):
             self._schedule_vacuum_if_needed(seg_id)
+
+    # ------------------------------------------------------------ async facade
+    #
+    # The reference's whole surface is CompletableFuture-based because FDB IO
+    # is asynchronous (api/VectorIndex.java:56-191). Here mutations are host
+    # array writes + a WAL append and queries are device dispatches, so the
+    # sync API is the primitive — these variants return
+    # concurrent.futures.Future for drop-in async call sites. query_async
+    # additionally routes through the QueryBatcher so CONCURRENT callers
+    # coalesce into one device program (the TPU throughput lever the
+    # reference's per-query chains can't express).
+
+    def _executor(self):
+        if self._async_pool is None:
+            with self._async_lock:
+                if self._async_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._async_pool = ThreadPoolExecutor(
+                        max_workers=4, thread_name_prefix="vsidx-async"
+                    )
+        return self._async_pool
+
+    def _batcher(self):
+        if self._async_batcher is None:
+            with self._async_lock:
+                if self._async_batcher is None:
+                    from vectorsearch_tpu.core.batcher import QueryBatcher
+
+                    self._async_batcher = QueryBatcher(self)
+        return self._async_batcher
+
+    def add_async(self, embedding, payload: Optional[bytes] = None):
+        return self._executor().submit(self.add, embedding, payload)
+
+    def add_all_async(self, embeddings, payloads: Optional[Sequence] = None):
+        return self._executor().submit(self.add_all, embeddings, payloads)
+
+    def delete_async(self, gid: int):
+        return self._executor().submit(self.delete, gid)
+
+    def delete_all_async(self, gids):
+        return self._executor().submit(self.delete_all, gids)
+
+    def query_async(self, q, k: int, params: Optional[SearchParams] = None):
+        """Coalescing async query: concurrent callers share device batches."""
+        return self._batcher().submit(q, k, params)
+
+    def query_batch_async(
+        self, qs, k: int, params: Optional[SearchParams] = None
+    ):
+        return self._executor().submit(self.query_batch, qs, k, params)
+
+    def await_indexing_complete_async(self):
+        return self._executor().submit(self.await_indexing_complete)
+
+    def resolve_ids_async(self, gids):
+        return self._executor().submit(self.resolve_ids, gids)
 
     def _schedule_vacuum_if_needed(self, seg_id: int) -> None:
         """Ratio + cooldown gate (reference: fdb/FdbVectorIndex.java:552-608)."""

@@ -197,8 +197,12 @@ def sharded_pq_train(mesh: Mesh, m: int, k: int, iters: int):
         subs = vectors.astype(jnp.float32).reshape(n_local, m, sub).transpose(1, 0, 2)
 
         def pick_init(rk):
-            # Every shard draws scored candidates; a psum-max picks the global
-            # winners deterministically (uniform over all valid rows).
+            # Every shard draws scored candidates; the gathered top-k picks
+            # the global winners deterministically (uniform over all valid
+            # rows). fold in the shard id: a replicated key would give every
+            # shard identical scores and the tie-broken top-k would seed from
+            # shard 0 only.
+            rk = jax.random.fold_in(rk, jax.lax.axis_index(DATA_AXIS))
             scores = jax.random.uniform(rk, (n_local,))
             scores = jnp.where(valid, scores, -jnp.inf)
             take = min(k, n_local)
@@ -209,7 +213,46 @@ def sharded_pq_train(mesh: Mesh, m: int, k: int, iters: int):
             _, sel = jax.lax.top_k(all_s, k)
             return all_c[:, sel, :]  # [M, K, sub]
 
-        cent0 = pick_init(key)
+        def global_best(score_local):
+            """Row subvectors [M, sub] of the globally best-scoring row
+            (one tiny all_gather of the per-shard winners)."""
+            i_best = jnp.argmax(score_local)
+            s_best = score_local[i_best]
+            cand = subs[:, i_best, :]  # [M, sub]
+            all_s = jax.lax.all_gather(s_best[None], DATA_AXIS, axis=0,
+                                       tiled=True)
+            all_c = jax.lax.all_gather(cand[None], DATA_AXIS, axis=0,
+                                       tiled=True)
+            return all_c[jnp.argmax(all_s)]
+
+        def dist2_to(c):
+            """Full-vector squared L2 of every local row to center c[M, sub]."""
+            return jnp.sum((subs - c[:, None, :]) ** 2, axis=(0, 2))
+
+        def farthest_init(rk):
+            """Deterministic farthest-point (k-means++-style) seeding: a
+            random valid first center, then each next center maximizes the
+            min-distance to the chosen set. Uniform sampling can drop whole
+            clusters at small K (two seeds land in one cluster and Lloyd's
+            never recovers); farthest-point covers separated clusters by
+            construction, at K rounds of one tiny all_gather each."""
+            rk = jax.random.fold_in(rk, jax.lax.axis_index(DATA_AXIS))
+            noise = jnp.where(valid, jax.random.uniform(rk, (n_local,)),
+                              -jnp.inf)
+            c0 = global_best(noise)
+            d2 = jnp.where(valid, dist2_to(c0), -jnp.inf)
+            cents0 = jnp.zeros((k, m, sub), jnp.float32).at[0].set(c0)
+
+            def body(j, carry):
+                cents, d2 = carry
+                cj = global_best(d2)
+                d2 = jnp.minimum(d2, jnp.where(valid, dist2_to(cj), -jnp.inf))
+                return cents.at[j].set(cj), d2
+
+            cents, _ = jax.lax.fori_loop(1, k, body, (cents0, d2))
+            return cents.transpose(1, 0, 2)  # [M, K, sub]
+
+        cent0 = farthest_init(key)
 
         def one_iter(i, cent):
             # local assign: [M, n_local]
