@@ -459,3 +459,43 @@ def test_async_facade(storage, rng):
     assert idx.resolve_ids_async([gids[1]]).result(timeout=30)[0][0] >= 0
     assert idx.await_indexing_complete_async().result(timeout=30) is True
     idx.close()  # shuts the executor + batcher down cleanly
+
+
+def test_random_pivots_append_diversified_seeds(storage, rng, monkeypatch):
+    """The reference's RANDOM_PIVOTS contract (fdb/FdbVectorIndex.java:804-812):
+    pivots append deterministic extra seeds beyond the ADC top-beam — a
+    uniform rank in the approx order == a uniform valid row (see
+    _search_sealed). Pinned at the traversal boundary: the seed set grows by
+    exactly `pivots` rows, all of which exist, and is call-stable."""
+    from vectorsearch_tpu.core import index as index_mod
+    from vectorsearch_tpu.params import SeedStrategy
+
+    idx = make_index(storage, max_segment_size=100, oversample=1)
+    x = gaussian(rng, 100)
+    idx.add_all(x)
+    run_builds(idx)
+
+    captured = []
+    real_expand = index_mod.traversal_ops.graph_expand
+
+    import jax
+
+    def spy(approx, adjacency, exists, seed_idx, seed_d, *a, **kw):
+        if not isinstance(seed_idx, jax.core.Tracer):  # eager calls only
+            captured.append(np.asarray(seed_idx))
+        return real_expand(approx, adjacency, exists, seed_idx, seed_d, *a, **kw)
+
+    monkeypatch.setattr(index_mod.traversal_ops, "graph_expand", spy)
+    base = SearchParams(ef_search=50, beam_width=8, max_iters=2,
+                        max_explore=100, mode=Mode.BEAM,
+                        seed_strategy=SeedStrategy.RANDOM_PIVOTS)
+    idx.query(x[7], 10, base.replace(pivots=0))
+    idx.query(x[7], 10, base.replace(pivots=6))
+    idx.query(x[7], 10, base.replace(pivots=6))
+    lean, rich, rich2 = captured
+    assert rich.shape[1] == lean.shape[1] + 6  # exactly `pivots` extra seeds
+    pivot_rows = rich[0, lean.shape[1]:]
+    seg = idx.store.segments[0]
+    assert all(seg.exists_np[v] for v in pivot_rows)  # valid rows only
+    assert np.array_equal(rich, rich2)  # deterministic draw (seeded)
+    idx.close()

@@ -569,6 +569,7 @@ class VectorIndex:
         if self._owns_queues:
             self.build_queue.close()
             self.maintenance_queue.close()
+        self.store.release_writer_lease()
 
     def __enter__(self):
         return self
@@ -1230,15 +1231,23 @@ class VectorIndex:
 
         # --- seeds: top-beam approx (+ deterministic diversified pivots) ---
         t_graph = time.monotonic()
-        neg_seed_d, seed_idx = jax.lax.top_k(-approx, min(beam_buf, seg.cap_pad))
+        neg_seed_d, seed_idx = jax.lax.approx_max_k(
+            -approx, min(beam_buf, seg.cap_pad), recall_target=0.95
+        )
         seed_idx = seed_idx.astype(jnp.int32)
         seed_d = -neg_seed_d
         seed_idx = jnp.where(jnp.isfinite(seed_d), seed_idx, -1)
 
         if params.seed_strategy == SeedStrategy.RANDOM_PIVOTS and n_codes > tuned_beam:
-            # Deterministic pivot seeds (reference :804-812 uses
-            # (segId<<21) ^ bits(lut[0][0]); we seed the same way but draw row
-            # ids directly instead of ranks in the approx-sorted order).
+            # Deterministic pivot seeds. The reference draws a uniform RANK
+            # beyond the beam in the approx-sorted order (:804-812, seeded
+            # (segId<<21) ^ bits(lut[0][0])); a uniform rank over valid rows
+            # maps to a uniform valid ROW (ranks permute rows), so drawing
+            # row ids directly is distributionally equivalent without the
+            # O(N log N) per-query sort. The one difference — a pivot may
+            # collide with a top-beam row the reference excludes — is
+            # harmless: graph_expand dedups seeds, so a collision merely
+            # adds nothing (matching a duplicate-free reference draw).
             lut00 = float(np.asarray(lut[0, 0, 0]))
             seed_val = ((seg.seg_id << 21) ^ np.float64(lut00).view(np.int64).item()) & 0xFFFFFFFF
             rnd = np.random.RandomState(seed_val)

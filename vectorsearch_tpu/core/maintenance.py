@@ -42,6 +42,26 @@ class MaintenanceService:
         self.build_service = build_service
         self.maintenance_queue = maintenance_queue
 
+    def _refuse_for_foreign_writer(self, what: str) -> bool:
+        """Cross-process safety gate: vacuum/compaction remap gids, so they
+        REFUSE to run while another process holds a live writer lease — a
+        concurrent foreign writer would race the remap and corrupt gid
+        resolution (the reference's FDB transactions make the remap atomic,
+        tasks/MaintenanceService.java:326-386; the planner re-discovers the
+        work once the writer's lease expires or is released)."""
+        foreign = self.store.live_foreign_writers()
+        if not foreign:
+            return False
+        get_registry().inc(
+            "vectorsearch.maintenance.refused_foreign_writer",
+            attrs={"op": what},
+        )
+        LOG.warning(
+            "%s refused: %d live foreign writer lease(s) (e.g. %s)",
+            what, len(foreign), foreign[0][:8],
+        )
+        return True
+
     # ----------------------------------------------------------------- vacuum
 
     def vacuum_segment(self, seg_id: int, min_ratio: Optional[float] = None) -> int:
@@ -52,6 +72,8 @@ class MaintenanceService:
         if min_ratio is None:
             min_ratio = cfg.effective.vacuum_min_deleted_ratio
         removed = 0
+        if self._refuse_for_foreign_writer("vacuum"):
+            return 0
         try:
             with self.store.lock:
                 seg = self.store.segments.get(seg_id)
@@ -179,6 +201,8 @@ class MaintenanceService:
     def mark_candidates_compacting(self, seg_ids: list[int]) -> bool:
         """Atomically flips all candidates SEALED->COMPACTING, or none
         (reference: tasks/MaintenanceWorker.java:120-155)."""
+        if self._refuse_for_foreign_writer("compaction"):
+            return False
         with self.store.lock:
             segs = []
             for sid in seg_ids:
@@ -200,6 +224,16 @@ class MaintenanceService:
         metrics = get_registry()
         cfg = self.config
         store = self.store
+        if self._refuse_for_foreign_writer("compaction"):
+            # a writer appeared between the COMPACTING flip and execution:
+            # revert sources so the planner can retry after the lease expires
+            with store.lock:
+                for sid in seg_ids:
+                    seg = store.segments.get(sid)
+                    if seg is not None and seg.state == SegmentState.COMPACTING:
+                        seg.meta.state = SegmentState.SEALED
+                store.checkpoint_state()
+            return None
         try:
             # 1) reserve destination as WRITING (invisible to search :254-271)
             with store.lock:

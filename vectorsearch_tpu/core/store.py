@@ -52,6 +52,51 @@ class VectorStore:
         # (vectorsearch_tpu/native.py). The reverse direction lives in each
         # segment's gids_np array — no second map needed.
         self.gid_map = GidMap(1024)
+        # Cross-process writer lease: this process's identity, heartbeated in
+        # storage on every mutation (at most every ttl/2). Maintenance in a
+        # DIFFERENT process refuses gid-remapping work (vacuum/compaction)
+        # while a foreign lease is live — the detect-and-refuse analogue of
+        # the reference's transactional gid remaps
+        # (tasks/MaintenanceService.java:326-386).
+        import uuid
+
+        self.owner_id = uuid.uuid4().hex
+        self._lease_written_ms = 0
+
+    # ---------------------------------------------------------- writer lease
+
+    _LEASE_KEY = "writer-leases"
+
+    def heartbeat_writer_lease(self) -> None:
+        ttl = self.config.effective.writer_lease_ttl_ms
+        if ttl <= 0:
+            return
+        now = self.config.effective.clock_ms()
+        if now - self._lease_written_ms < ttl // 2:
+            return
+        with self.storage.queue_lock(self.name, self._LEASE_KEY):
+            leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
+            leases = {o: e for o, e in leases.items() if e > now}  # GC expired
+            leases[self.owner_id] = now + ttl
+            self.storage.write_queue(self.name, self._LEASE_KEY, leases)
+        self._lease_written_ms = now
+
+    def release_writer_lease(self) -> None:
+        if self._lease_written_ms == 0:
+            return
+        with self.storage.queue_lock(self.name, self._LEASE_KEY):
+            leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
+            if leases.pop(self.owner_id, None) is not None:
+                self.storage.write_queue(self.name, self._LEASE_KEY, leases)
+        self._lease_written_ms = 0
+
+    def live_foreign_writers(self) -> list[str]:
+        """Owner ids of OTHER processes holding a live writer lease."""
+        if self.config.effective.writer_lease_ttl_ms <= 0:
+            return []
+        now = self.config.effective.clock_ms()
+        leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
+        return [o for o, e in leases.items() if o != self.owner_id and e > now]
 
     # ------------------------------------------------------------------ open
 
@@ -262,6 +307,7 @@ class VectorStore:
 
         gids: list[int] = []
         offset = 0
+        self.heartbeat_writer_lease()
         with self.lock:
             while offset < n:
                 seg = self.segments[self.current_segment]
@@ -340,6 +386,7 @@ class VectorStore:
         """Tombstones gids; returns the affected segment ids
         (reference: deleteBatch :276-423). Unknown gids are ignored."""
         affected: list[int] = []
+        self.heartbeat_writer_lease()
         with self.lock:
             by_seg: Dict[int, list[tuple[int, int]]] = {}
             for gid in gids:
