@@ -268,6 +268,12 @@ class VectorIndexConfig:
     #     reference's literal contract). Costs recall when ADC ranking is
     #     noisy or top candidates are deleted (.99 -> .87 on sift100k) —
     #     opt in for strict parity experiments.
+    payload_storage: str = "list"  # "list" | "arena". list: one Python object
+    #   per row — feeds the C result builder (fastest objects API), fine to
+    #   ~1M rows. arena: one bytes blob + int64 offset planes per segment
+    #   (core/payloads.py) — bounded memory at 10M+ rows (16B/row overhead,
+    #   payloads materialized only when a result returns them); checkpoints
+    #   embed the blob in the npz instead of pickling object lists.
     durable_task_queues: bool = False  # journal build/maintenance queues
     #   through the storage backend so in-flight tasks (attempts, retry
     #   throttles) survive restarts — the reference gets this from its
@@ -317,6 +323,8 @@ class VectorIndexConfig:
             raise ValueError("sealedSearchMode must be 'flat' or 'graph'")
         if self.flat_ef_semantics not in ("buffer", "strict"):
             raise ValueError("flatEfSemantics must be 'buffer' or 'strict'")
+        if self.payload_storage not in ("list", "arena"):
+            raise ValueError("payloadStorage must be 'list' or 'arena'")
         # Validate operational fields by constructing the effective WorkerConfig.
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
         if self.pq_train_iters <= 0:

@@ -1069,6 +1069,10 @@ class VectorIndex:
 
             builder = load_result_builder()
             built = None
+            if builder is not None and any(
+                not isinstance(seg.payloads, list) for seg in seg_list
+            ):
+                builder = None  # arena payloads: C builder walks lists only
             if builder is not None:
                 try:
                     built = builder(

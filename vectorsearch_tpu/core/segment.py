@@ -74,7 +74,7 @@ class Segment:
     readers can trigger it safely."""
 
     def __init__(self, meta: SegmentMeta, capacity: int, dim: int, device=None,
-                 mesh=None):
+                 mesh=None, payload_arena: bool = False):
         self.meta = meta
         self.capacity = capacity
         self.cap_pad = pad_cap(capacity)
@@ -89,7 +89,15 @@ class Segment:
         self.exists_np = np.zeros(self.cap_pad, bool)
         self.alive_np = np.zeros(self.cap_pad, bool)
         self.gids_np = np.full(self.cap_pad, -1, np.int64)  # vectorized gid join
-        self.payloads: list = [None] * self.cap_pad
+        # list (default): one Python object per row, feeds the C result
+        # builder. arena (config.payload_storage): blob + offset planes —
+        # bounded memory at 10M+ rows (core/payloads.py).
+        if payload_arena:
+            from vectorsearch_tpu.core.payloads import PayloadArena
+
+            self.payloads = PayloadArena(self.cap_pad)
+        else:
+            self.payloads = [None] * self.cap_pad
         self.next_row = 0  # rows [0, next_row) were ever written
         self.version = 0  # bumped on any mutation (stack-cache invalidation)
 
@@ -420,19 +428,31 @@ class Segment:
             arrays["codes"] = self.codes_np
             arrays["codebook"] = self.codebook_np
             arrays["adjacency"] = self.adjacency_np
+        if not isinstance(self.payloads, list):
+            # arena mode: payloads persist as npz planes inside the same
+            # checkpoint (no per-row object materialization)
+            arrays.update(self.payloads.to_npz_arrays(self.next_row))
         return arrays
+
+    def payloads_for_checkpoint(self):
+        """List payloads ride the pickle side-channel; arena payloads are
+        embedded in to_arrays() planes."""
+        if isinstance(self.payloads, list):
+            return self.payloads[: self.next_row]
+        return None
 
     @staticmethod
     def from_arrays(
         meta: SegmentMeta, capacity: int, dim: int, rec: dict, device=None,
-        mesh=None,
+        mesh=None, payload_arena: bool = False,
     ) -> "Segment":
         arrays = rec["arrays"]
         if "capacity" in arrays:
             # compacted segments may exceed maxSegmentSize (reference segments
             # have no physical cap); restore the persisted capacity
             capacity = max(capacity, int(arrays["capacity"][0]))
-        seg = Segment(meta, capacity, dim, device=device, mesh=mesh)
+        seg = Segment(meta, capacity, dim, device=device, mesh=mesh,
+                      payload_arena=payload_arena)
         n = int(arrays["next_row"][0])
         seg.next_row = n
         seg.vectors_np[:n] = arrays["vectors"]
@@ -440,7 +460,13 @@ class Segment:
         seg.alive_np[:n] = arrays["alive"]
         if "gids" in arrays:
             seg.gids_np[:n] = arrays["gids"]
-        if rec.get("payloads"):
+        if "payload_off" in arrays:
+            from vectorsearch_tpu.core.payloads import PayloadArena
+
+            seg.payloads = PayloadArena.from_npz_arrays(seg.cap_pad, arrays)
+        elif rec.get("payloads"):
+            # list-format checkpoint: load row by row (works into either
+            # container, so arena-configured indexes read old checkpoints)
             for i, p in enumerate(rec["payloads"][: seg.cap_pad]):
                 seg.payloads[i] = p
         if "codes" in arrays:

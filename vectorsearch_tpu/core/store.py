@@ -137,6 +137,7 @@ class VectorStore:
         return Segment(
             meta, capacity or self.config.max_segment_size, self.config.dimension,
             device=self._segment_device(seg_id), mesh=self.config.mesh,
+            payload_arena=self.config.payload_storage == "arena",
         )
 
     def _load_state(self) -> None:
@@ -175,6 +176,7 @@ class VectorStore:
                         meta, self.config.max_segment_size, self.config.dimension,
                         rec, device=self._segment_device(sid),
                         mesh=self.config.mesh,
+                        payload_arena=self.config.payload_storage == "arena",
                     )
                 self.segments[sid] = seg
             # Per-mutation durability: replay each segment's WAL over its
@@ -237,7 +239,7 @@ class VectorStore:
             if seg is None:
                 return
             self.storage.write_segment(
-                self.name, seg_id, seg.to_arrays(), seg.payloads[: seg.next_row]
+                self.name, seg_id, seg.to_arrays(), seg.payloads_for_checkpoint()
             )
             self.storage.wal_reset(self.name, seg_id)
 
@@ -281,6 +283,7 @@ class VectorStore:
                 self.segments[sid] = Segment.from_arrays(
                     meta, self.config.max_segment_size, self.config.dimension,
                     rec, device=self._segment_device(sid), mesh=self.config.mesh,
+                    payload_arena=self.config.payload_storage == "arena",
                 )
                 changed.append(sid)
                 LOG.debug("refreshed segment %d from storage (SEALED)", sid)
