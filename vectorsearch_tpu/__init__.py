@@ -31,7 +31,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "GlobalTaskQueueConfig",
+    "DiskStorage",
     "IndexMeta",
+    "IndexStorage",
+    "MemoryStorage",
     "Metric",
     "Mode",
     "SearchParams",
@@ -50,4 +53,9 @@ def __getattr__(name):
         from vectorsearch_tpu.core.index import VectorIndex
 
         return VectorIndex
+    if name in ("DiskStorage", "MemoryStorage", "IndexStorage"):
+        # the durability backends users hand to VectorIndexConfig(storage=...)
+        import vectorsearch_tpu.core.persist as _persist
+
+        return getattr(_persist, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

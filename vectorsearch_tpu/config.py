@@ -292,6 +292,12 @@ class VectorIndexConfig:
     #   (fdb/FdbVectorIndex.java:417-470). ACTIVE/PENDING segments stay on
     #   the default device (their incremental appends would thrash shards).
     #   Requires sealed_search_mode="flat" and default device placement.
+    segment_shard: Any = None  # optional (shard, n_shards): this process
+    #   serves only segments with seg_id % n_shards == shard — the multi-HOST
+    #   (DCN) distribution unit for parallel/cluster.py query servers, above
+    #   the per-host device/mesh axes. Deterministic modulo ownership means
+    #   rotation assigns new segments without any coordinator round-trip
+    #   (the reference gets cross-host placement for free from FDB ranges).
 
     def __post_init__(self):
         if self.storage is None:
@@ -348,6 +354,16 @@ class VectorIndexConfig:
                     f"padded segment capacity ({cap_pad}) must divide evenly "
                     f"over the mesh ({n_shards} devices)"
                 )
+        if self.segment_shard is not None:
+            try:
+                shard, n_shards = (int(v) for v in self.segment_shard)
+            except (TypeError, ValueError):
+                raise ValueError("segmentShard must be a (shard, nShards) pair")
+            if n_shards <= 0 or not (0 <= shard < n_shards):
+                raise ValueError(
+                    "segmentShard requires 0 <= shard < nShards"
+                )
+            object.__setattr__(self, "segment_shard", (shard, n_shards))
 
     def _build_effective_worker(self) -> WorkerConfig:
         if self.worker_config is not None:

@@ -746,6 +746,24 @@ class VectorIndex:
     def resolve_ids(self, gids) -> list[tuple[int, int]]:
         return [self.store.resolve_gid(g) for g in gids]
 
+    def resolve_payloads(self, gids) -> list:
+        """Payloads by gid; None for absent payloads, unknown or deleted gids
+        (gid<0 slots from the arrays API pass through as None). Serves the
+        cluster protocol's want_payloads fetch (parallel/cluster.py)."""
+        out = []
+        with self.store.lock:
+            for g in gids:
+                if g is None or int(g) < 0:
+                    out.append(None)
+                    continue
+                sid, vid = self.store.resolve_gid(int(g))
+                seg = self.store.segments.get(sid) if sid >= 0 else None
+                out.append(
+                    seg.payloads[vid]
+                    if seg is not None and 0 <= vid < seg.cap_pad else None
+                )
+        return out
+
     # ----------------------------------------------------------------- query
 
     def query(self, q, k: int, params: Optional[SearchParams] = None) -> list[SearchResult]:
@@ -788,6 +806,12 @@ class VectorIndex:
             )
 
         segments = self.store.snapshot_segments()
+        if self.config.segment_shard is not None:
+            # cluster serving (parallel/cluster.py): this process owns only
+            # seg_id % n_shards == shard; the router's merge over all shards
+            # reconstructs the full candidate set (segments are disjoint)
+            shard, n_shards = self.config.segment_shard
+            segments = [s for s in segments if s.meta.segment_id % n_shards == shard]
         per_seg_limit = max(k, k * max(1, self.config.oversample))
         nq = qs.shape[0]
 

@@ -112,3 +112,18 @@ class SearchParams:
 
     def replace(self, **kw) -> "SearchParams":
         return dataclasses.replace(self, **kw)
+
+    # ---- wire serialization (parallel/cluster.py router <-> server) ----
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["seed_strategy"] = self.seed_strategy.value
+        d["mode"] = self.mode.value
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "SearchParams":
+        d = dict(d)
+        d["seed_strategy"] = SeedStrategy(d.get("seed_strategy", "PQ_SEED_ONLY"))
+        d["mode"] = Mode(d.get("mode", "BEST_FIRST"))
+        return SearchParams(**d)
