@@ -268,6 +268,16 @@ class VectorIndexConfig:
     #     reference's literal contract). Costs recall when ADC ranking is
     #     noisy or top candidates are deleted (.99 -> .87 on sift100k) —
     #     opt in for strict parity experiments.
+    graph_build_mode: str = "always"  # "always" | "skip_for_flat". The
+    #   reference always builds the Vamana graph at seal (its only sealed
+    #   search IS traversal, tasks/SegmentBuildService.java:204-209). Flat
+    #   mode (the TPU-native default) never reads adjacency, so
+    #   "skip_for_flat" skips the graph build entirely when
+    #   sealed_search_mode="flat" — seal time drops to PQ train+encode and
+    #   checkpoints shed the [cap, R] adjacency plane. Queries that request
+    #   a traversal mode (BEAM / RANDOM_PIVOTS) against a graph-less segment
+    #   fall back to the flat pool (warn-once), whose recall dominates the
+    #   traversal pool at equal ef by construction.
     payload_storage: str = "list"  # "list" | "arena". list: one Python object
     #   per row — feeds the C result builder (fastest objects API), fine to
     #   ~1M rows. arena: one bytes blob + int64 offset planes per segment
@@ -331,6 +341,10 @@ class VectorIndexConfig:
             raise ValueError("flatEfSemantics must be 'buffer' or 'strict'")
         if self.payload_storage not in ("list", "arena"):
             raise ValueError("payloadStorage must be 'list' or 'arena'")
+        if self.graph_build_mode not in ("always", "skip_for_flat"):
+            raise ValueError(
+                "graphBuildMode must be 'always' or 'skip_for_flat'"
+            )
         # Validate operational fields by constructing the effective WorkerConfig.
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
         if self.pq_train_iters <= 0:

@@ -137,6 +137,19 @@ class SegmentBuildService:
                 )
             codes = pq_ops.pq_encode(xs, codebook, ex)
 
+        if (
+            cfg.graph_build_mode == "skip_for_flat"
+            and cfg.sealed_search_mode == "flat"
+        ):
+            # Flat search never reads adjacency: a zero-column plane marks
+            # the segment as graph-less (queries requesting traversal modes
+            # fall back to the flat pool; see index._query_batch).
+            self._seal(
+                seg_id, np.array(codes), np.array(codebook),
+                np.zeros((seg.cap_pad, 0), np.int32),
+            )
+            return
+
         degree = max(0, min(cfg.graph_degree, max(0, n_rows - 1)))
         l_build = max(degree, cfg.graph_build_breadth)
         if degree == 0:

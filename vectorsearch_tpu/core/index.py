@@ -83,6 +83,12 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _graphless(seg) -> bool:
+    """Sealed with graph_build_mode="skip_for_flat": the zero-column
+    adjacency plane marks the segment as having no traversal graph."""
+    return seg.adjacency_np is not None and seg.adjacency_np.shape[1] == 0
+
+
 @functools.partial(jax.jit, static_argnames=("ef_buf", "flat_strict"))
 def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
                       flat_strict=False):
@@ -475,6 +481,7 @@ class VectorIndex:
     def __init__(self, config: VectorIndexConfig):
         self.config = config
         self._beam_warned = False
+        self._graphless_warned = False
         self._qb_count = 0  # batches served; drives breakdown sampling
         self._async_pool = None  # lazy ThreadPoolExecutor (async facade)
         self._async_batcher = None  # lazy QueryBatcher (query coalescing)
@@ -884,6 +891,14 @@ class VectorIndex:
         profile_breakdown = every > 0 and (self._qb_count % every == 0)
         self._qb_count += 1
         for (cap, _dev), group in sgroups.items():
+            # Segments sealed with graph_build_mode="skip_for_flat" carry a
+            # zero-column adjacency: any traversal-mode request falls back to
+            # the flat pool for the whole group — never worse, the flat pool
+            # dominates a traversal pool at equal ef (see _sealed_query_step).
+            gflat = flat
+            if not gflat and any(_graphless(seg) for seg in group):
+                self._warn_graphless_once()
+                gflat = True
             if not use_stacked:
                 for seg in group:
                     res = self._search_sealed(qd, qs, seg, k, per_seg_limit, params)
@@ -910,7 +925,7 @@ class VectorIndex:
             # over config.mesh; per-shard scan+rerank, O(devices*rr) ICI merge
             # (parallel/mesh.py::sharded_flat_query). Requires flat mode
             # (validated at config); RANDOM_PIVOTS took the fallback above.
-            if self.config.mesh is not None and flat:
+            if self.config.mesh is not None and gflat:
                 from vectorsearch_tpu.parallel import mesh as mesh_ops
 
                 rr = min(per_seg_limit, ef_buf)
@@ -955,7 +970,7 @@ class VectorIndex:
                         max_steps=u_ef_buf, min_steps=min_steps,
                         refine_frontier=refine,
                         rr=min(per_seg_limit * len(group), u_ef_buf),
-                        metric=self.config.metric, flat=flat,
+                        metric=self.config.metric, flat=gflat,
                         flat_strict=flat_strict,
                     )
                 )
@@ -1000,14 +1015,14 @@ class VectorIndex:
                         ef_buf=ef_buf, beam_buf=beam_buf,
                         max_steps=max_steps, min_steps=min_steps,
                         refine_frontier=refine, rr=rr,
-                        flat=flat, flat_strict=flat_strict,
+                        flat=gflat, flat_strict=flat_strict,
                     )
                     entries.append(entry)
                     continue
                 # flat mode never traverses: skip the adjacency upload
                 # entirely (HBM saved per sealed segment; XLA DCEs the dummy)
                 adj = (
-                    _dummy_adj() if flat else self.caches.get_adjacency(seg)
+                    _dummy_adj() if gflat else self.caches.get_adjacency(seg)
                 )
                 sc, di, iv, slots = _sealed_query_slot_step(
                     qd, seg.vectors_dev, self.caches.get_codebook(seg),
@@ -1017,7 +1032,7 @@ class VectorIndex:
                     ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
                     min_steps=min_steps, refine_frontier=refine,
                     rr=rr, metric=self.config.metric,
-                    flat=flat, flat_strict=flat_strict,
+                    flat=gflat, flat_strict=flat_strict,
                 )
                 entries.append((sc, di, iv, slots))
 
@@ -1227,11 +1242,36 @@ class VectorIndex:
 
     # -- sealed path, RANDOM_PIVOTS fallback (reference :730-837) -------------
 
+    def _warn_graphless_once(self) -> None:
+        if not self._graphless_warned:
+            self._graphless_warned = True
+            LOG.warning(
+                "traversal-mode query against segments sealed with "
+                "graphBuildMode='skip_for_flat' (no adjacency); falling back "
+                "to the flat pool (this warning is logged once)"
+            )
+
     def _search_sealed(self, qd, qs, seg: Segment, k: int, limit: int,
                        params: SearchParams):
         n_codes = seg.exists_count()
         if n_codes == 0:
             return None
+        if _graphless(seg):
+            # No traversal graph (graph_build_mode="skip_for_flat"): serve
+            # the RANDOM_PIVOTS/traversal request from the flat pool instead.
+            self._warn_graphless_once()
+            tuned_ef, _tb = self._auto_tune(seg, k, params)
+            ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
+            cand_idx = _sealed_flat_pool(
+                qd, self.caches.get_codebook(seg), seg.codes_dev,
+                seg.exists_dev, jnp.int32(tuned_ef), ef_buf=ef_buf,
+                flat_strict=self.config.flat_ef_semantics == "strict",
+            )
+            scores, dists, idx = traversal_ops.exact_rerank(
+                qd, seg.vectors_dev, seg.alive_dev, cand_idx,
+                min(limit, ef_buf), self.config.metric,
+            )
+            return scores, dists, idx, seg
 
         t_pq = time.monotonic()
         codebook = self.caches.get_codebook(seg)
