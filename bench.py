@@ -181,6 +181,96 @@ def bench_ref():
     }
 
 
+def bench_glove():
+    """BASELINE.json bench config #4: online inserts with strict-cap rotation
+    and MIXED brute-force/sealed search on a GloVe-1.2M-shaped cosine corpus
+    (1.2M x 100, cosine metric). QPS is measured while the tail of the corpus
+    is still being inserted/sealed — every batch touches both the brute-force
+    ACTIVE segment and the sealed ones, the reference's mixed dispatch
+    (fdb/FdbVectorIndex.java:640-668)."""
+    import threading
+
+    import vectorsearch_tpu as vs
+    from vectorsearch_tpu.core.index import VectorIndex
+    from vectorsearch_tpu.core.persist import MemoryStorage
+    from vectorsearch_tpu.params import Mode, SearchParams
+
+    rng = np.random.default_rng(42)
+    # VSTPU_GLOVE_N: scale override for CPU smoke runs of this harness
+    n = int(os.environ.get("VSTPU_GLOVE_N", 1_200_000))
+    d, k = 100, 10
+    seg = max(1000, n // 12)
+    preload = n - seg
+    n_centers = max(64, n // 600)
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    x = centers[rng.integers(0, n_centers, n)] + 0.25 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    idx = VectorIndex.create_or_open(
+        vs.VectorIndexConfig(
+            storage=MemoryStorage(), name="glove", dimension=d, metric="COSINE",
+            max_segment_size=seg, pq_m=20, pq_k=256, graph_degree=32,
+            graph_build_breadth=64, local_worker_threads=1,
+            graph_build_mode="skip_for_flat",
+        )
+    )
+    # Pre-load all but one segment's worth (sealed via the background
+    # worker); the rest feeds the live-insert window so the mixed
+    # brute+sealed dispatch is always hot.
+    t0 = time.time()
+    gids = idx.add_all(x[:preload])
+    idx.await_indexing_complete(timeout=3600)
+    build_s = time.time() - t0
+
+    params = SearchParams(ef_search=150, beam_width=128, max_iters=6,
+                          max_explore=150, mode=Mode.BEST_FIRST)
+    q = x[rng.integers(0, preload, 512)] + 0.05 * rng.normal(
+        size=(512, d)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx.query_batch(q, k, params)  # warm sealed-only shape
+
+    stop = [False]
+
+    def writer():
+        off = preload
+        step = max(200, seg // 50)
+        while not stop[0] and off < n:
+            idx.add_all(x[off : off + step])
+            off += step
+            time.sleep(0.01)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    time.sleep(1.0)  # let the ACTIVE segment fill so the mix is real
+    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=512,
+                      params=params, in_flight=8)
+    stop[0] = True
+    wt.join()
+
+    # recall@10 vs brute-force cosine ground truth on the sealed prefix
+    res = idx.query_batch(q[:128], k, params)
+    hits = 0
+    for i, r in enumerate(res):
+        sims = x @ q[i]
+        truth = {int(t) for t in np.argsort(-sims)[:k] if t < len(gids)}
+        got = {s.gid for s in r}
+        hits += len({gids[t] for t in truth} & got)
+    recall = hits / (128 * k)
+    idx.close()
+    return {
+        "metric": (
+            f"glove{n}_cosine_mixed_qps_arrays_k10_recall{recall:.2f}"
+            f"_build{build_s:.0f}s"
+        ),
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }
+
+
 def bench_churn():
     """Sustained serving under churn: queries run continuously while writers
     add + delete vectors, rotations seal in background worker threads, and
@@ -300,7 +390,7 @@ def main():
     enable_persistent_cache()
     which = os.environ.get("VSTPU_BENCH", "sift100k")
     fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref,
-          "churn": bench_churn}[which]
+          "churn": bench_churn, "glove": bench_glove}[which]
     print(json.dumps(fn()))
 
 
