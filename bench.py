@@ -24,6 +24,13 @@ import numpy as np
 
 BASELINE_QPS = 1000.0  # estimated single-thread Java reference
 
+# PQ operating point for the sift benches. 16x256 is the reference's default
+# profile; 64x16 is the measured TPU sweet spot (smaller one-hot width per
+# subspace -> 2.5x faster Pallas scan AND higher recall at the same 128-dim
+# corpus; see ROADMAP.md "PQ operating point").
+PQ_M = int(os.environ.get("VSTPU_PQ_M", "16"))
+PQ_K = int(os.environ.get("VSTPU_PQ_K", "256"))
+
 
 def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
     import vectorsearch_tpu as vs
@@ -89,11 +96,11 @@ def bench_sift100k():
     centers = rng.normal(size=(512, d)).astype(np.float32) * 4
     x = centers[rng.integers(0, 512, n)] + rng.normal(size=(n, d)).astype(np.float32)
 
-    idx, gids = build_index(x, d, seg_size=n, pq_m=16, pq_k=256, degree=32,
+    idx, gids = build_index(x, d, seg_size=n, pq_m=PQ_M, pq_k=PQ_K, degree=32,
                             breadth=64)  # first build compiles the kernels
     idx.close()
     t_build0 = time.time()  # warm build: what production sealing costs
-    idx, gids = build_index(x, d, seg_size=n, pq_m=16, pq_k=256, degree=32,
+    idx, gids = build_index(x, d, seg_size=n, pq_m=PQ_M, pq_k=PQ_K, degree=32,
                             breadth=64)
     build_s = time.time() - t_build0
 
@@ -133,7 +140,7 @@ def bench_sift1m():
     centers = rng.normal(size=(2048, d)).astype(np.float32) * 4
     x = centers[rng.integers(0, 2048, n)] + rng.normal(size=(n, d)).astype(np.float32)
     t0 = time.time()
-    idx, gids = build_index(x, d, seg_size=100_000, pq_m=16, pq_k=256,
+    idx, gids = build_index(x, d, seg_size=100_000, pq_m=PQ_M, pq_k=PQ_K,
                             degree=32, breadth=64)
     build_s = time.time() - t0
     from vectorsearch_tpu.params import Mode, SearchParams
@@ -271,6 +278,102 @@ def bench_glove():
     }
 
 
+def bench_deep10m():
+    """BASELINE.json bench config #5: maintenance under churn at Deep10M
+    scale — 10M x 96 (Deep1B's shape), tombstone deletes, cooldown-aware
+    vacuum, compaction, with recall stability checked after the churn
+    window. Heavy (builds ~10 1M-row sealed segments first); opt-in via
+    VSTPU_BENCH=deep10m; VSTPU_DEEP_N scales it down for smoke runs."""
+    import threading
+
+    import vectorsearch_tpu as vs
+    from vectorsearch_tpu.core.index import VectorIndex
+    from vectorsearch_tpu.core.persist import MemoryStorage
+    from vectorsearch_tpu.params import Mode, SearchParams
+
+    rng = np.random.default_rng(42)
+    n = int(os.environ.get("VSTPU_DEEP_N", 10_000_000))
+    d, k = 96, 10
+    seg = max(1000, n // 10)
+    n_centers = 4096
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # chunked generation keeps the transient numpy peak ~1 chunk
+    x = np.empty((n, d), np.float32)
+    for off in range(0, n, 1_000_000):
+        hi = min(off + 1_000_000, n)
+        c = centers[rng.integers(0, n_centers, hi - off)]
+        x[off:hi] = c + 0.18 * rng.normal(size=(hi - off, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    idx = VectorIndex.create_or_open(
+        vs.VectorIndexConfig(
+            storage=MemoryStorage(), name="deep10m", dimension=d, metric="L2",
+            max_segment_size=seg, pq_m=16, pq_k=256, graph_degree=32,
+            graph_build_breadth=64, local_worker_threads=1,
+            local_maintenance_worker_threads=1,
+            graph_build_mode="skip_for_flat",
+            vacuum_min_deleted_ratio=0.1, vacuum_cooldown_s=5.0,
+        )
+    )
+    t0 = time.time()
+    gids = idx.add_all(x)
+    idx.await_indexing_complete(timeout=7200)
+    build_s = time.time() - t0
+
+    params = SearchParams(ef_search=150, beam_width=128, max_iters=6,
+                          max_explore=150, mode=Mode.BEST_FIRST)
+    q = x[rng.integers(0, n, 512)] + 0.02 * rng.normal(size=(512, d)).astype(
+        np.float32
+    )
+    idx.query_batch(q, k, params)  # warm the sealed-only shape
+
+    stop = [False]
+    mutations = [0]
+
+    def writer():
+        wrng = np.random.default_rng(7)
+        next_del = n // 2
+        while not stop[0]:
+            fresh = centers[wrng.integers(0, n_centers, 2000)] + 0.18 * (
+                wrng.normal(size=(2000, d)).astype(np.float32)
+            )
+            idx.add_all(fresh)
+            idx.delete_all(list(range(next_del, next_del + 2000)))
+            next_del += 2000
+            mutations[0] += 4000
+            time.sleep(0.05)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    time.sleep(1.0)
+    qps = measure_qps(idx, np.concatenate([q] * 4), k, batch=512, seconds=20.0,
+                      params=params, in_flight=8)
+    stop[0] = True
+    wt.join()
+
+    # recall stability on the stable prefix AFTER churn + deletes stay dead
+    idx.await_indexing_complete(timeout=7200)
+    res = idx.query_batch(x[:256], k, params)
+    recall = sum(
+        1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r]
+    ) / 256
+    dead = idx.query_batch(x[n // 2 : n // 2 + 64], 20, params)
+    leaked = sum(
+        1 for i, r in enumerate(dead) if gids[n // 2 + i] in [s.gid for s in r]
+    )
+    idx.close()
+    return {
+        "metric": (
+            f"deep{n}_churn_qps_arrays_k10_selfrecall{recall:.2f}"
+            f"_leaked{leaked}_mutations{mutations[0]}_build{build_s:.0f}s"
+        ),
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }
+
+
 def bench_churn():
     """Sustained serving under churn: queries run continuously while writers
     add + delete vectors, rotations seal in background worker threads, and
@@ -390,7 +493,8 @@ def main():
     enable_persistent_cache()
     which = os.environ.get("VSTPU_BENCH", "sift100k")
     fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref,
-          "churn": bench_churn, "glove": bench_glove}[which]
+          "churn": bench_churn, "glove": bench_glove,
+          "deep10m": bench_deep10m}[which]
     print(json.dumps(fn()))
 
 

@@ -25,27 +25,30 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE_N = 512
 
 
-def _make_onehot(codes_ref, mk):
+def _make_onehot(codes_ref, kidx_ref):
     """Flattened one-hot built directly in 2D (Mosaic can't shape-cast
     [T, M, K] -> [T, M*K] when K is narrower than a lane). pltpu.repeat
     TILES along the lane axis (codes_rep[t, j] = codes[t, j % M]), so the
     flattened layout is k-major: column j = k_idx*M + m_idx, and the caller
     flattens the LUT as lut.transpose(0, 2, 1) to match:
       onehot[t, j] = (codes[t, j % M] == j // M)
+
+    The k-index row (j // M) is a grid-invariant constant, so it arrives as
+    a tiny i32[1, M*K] operand broadcast over sublanes instead of being
+    rebuilt via iota + integer-div on the VPU every grid step — the scan is
+    onehot-construction-bound, and the div was the expensive part.
     """
-    tile_n, m = codes_ref.shape
-    k = mk // m
+    m = codes_ref.shape[1]
+    k = kidx_ref.shape[1] // m
     codes = codes_ref[:].astype(jnp.int32)  # [T, M]
     codes_rep = pltpu.repeat(codes, k, axis=1)  # [T, M*K] tiled
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, mk), 1)
-    k_idx = jax.lax.div(col, m)
-    return (codes_rep == k_idx).astype(jnp.bfloat16)
+    return (codes_rep == kidx_ref[:]).astype(jnp.bfloat16)
 
 
 _DN = (((1,), (1,)), ((), ()))
 
 
-def _adc_kernel(hi_ref, lo_ref, codes_ref, out_ref):
+def _adc_kernel(hi_ref, lo_ref, kidx_ref, codes_ref, out_ref):
     """One grid step: out[:, tile] = (hi + lo) @ onehot(codes[tile]).T.
 
     hi_ref/lo_ref: bf16[Q, M*K] — two-pass bf16 split of the f32 LUT,
@@ -53,7 +56,7 @@ def _adc_kernel(hi_ref, lo_ref, codes_ref, out_ref):
     codes_ref:     u8[TILE_N, M] (VMEM)
     out_ref:       f32[Q, TILE_N]
     """
-    onehot = _make_onehot(codes_ref, hi_ref.shape[1])
+    onehot = _make_onehot(codes_ref, kidx_ref)
     # two matmul passes (hi + lo) -> near-f32 accuracy; one-hot is exact bf16
     out_ref[:] = jax.lax.dot_general(
         hi_ref[:], onehot, dimension_numbers=_DN, preferred_element_type=jnp.float32
@@ -62,18 +65,18 @@ def _adc_kernel(hi_ref, lo_ref, codes_ref, out_ref):
     )
 
 
-def _adc_kernel_fast(lut_ref, codes_ref, out_ref):
+def _adc_kernel_fast(lut_ref, kidx_ref, codes_ref, out_ref):
     """Single-pass variant: one bf16 matmul on the rounded LUT. The scan only
     ranks candidates for an exact re-rank, and bf16's 8-bit mantissa moves
     the pool boundary imperceptibly (recall unchanged at 4 decimal places on
     the sift100k gate) for HALF the MXU work of the two-pass kernel."""
-    onehot = _make_onehot(codes_ref, lut_ref.shape[1])
+    onehot = _make_onehot(codes_ref, kidx_ref)
     out_ref[:] = jax.lax.dot_general(
         lut_ref[:], onehot, dimension_numbers=_DN, preferred_element_type=jnp.float32
     )
 
 
-def _adc_kernel_scores(lut_ref, valid_ref, codes_ref, out_ref):
+def _adc_kernel_scores(lut_ref, kidx_ref, valid_ref, codes_ref, out_ref):
     """Flat-path variant: emits NEGATED bf16 scores with the validity mask
     applied in-kernel. The wrapper folds the negation into the LUT, so
     out[:, tile] = (-lut) @ onehot(codes[tile]).T, and invalid columns are
@@ -81,7 +84,7 @@ def _adc_kernel_scores(lut_ref, valid_ref, codes_ref, out_ref):
     top-ef pool) reads this output directly — no slice/where/negate passes
     over the [Q, N] matrix in HBM, and bf16 halves the write+read traffic.
     """
-    onehot = _make_onehot(codes_ref, lut_ref.shape[1])
+    onehot = _make_onehot(codes_ref, kidx_ref)
     mm = jax.lax.dot_general(
         lut_ref[:], onehot, dimension_numbers=_DN, preferred_element_type=jnp.float32
     )
@@ -126,8 +129,10 @@ def adc_scan_pallas(
     n_pad = codes.shape[0]
     # k-major flattening to match the kernel's tiled one-hot layout
     lut_flat = lut.transpose(0, 2, 1).reshape(qn, m * k)
+    kidx = (jnp.arange(m * k, dtype=jnp.int32) // m)[None, :]
 
     lut_spec = pl.BlockSpec((qn, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kidx_spec = pl.BlockSpec((1, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     common = dict(
         grid=(n_pad // tile_n,),
         out_specs=pl.BlockSpec(
@@ -153,15 +158,15 @@ def adc_scan_pallas(
         lo = (lut_flat - hi_f32).astype(jnp.bfloat16)
         out = pl.pallas_call(
             _adc_kernel,
-            in_specs=[lut_spec, lut_spec, codes_spec],
+            in_specs=[lut_spec, lut_spec, kidx_spec, codes_spec],
             **common,
-        )(hi, lo, codes)
+        )(hi, lo, kidx, codes)
     else:
         out = pl.pallas_call(
             _adc_kernel_fast,
-            in_specs=[lut_spec, codes_spec],
+            in_specs=[lut_spec, kidx_spec, codes_spec],
             **common,
-        )(lut_flat.astype(jnp.bfloat16), codes)
+        )(lut_flat.astype(jnp.bfloat16), kidx, codes)
     out = out[:, :n]
     return jnp.where(valid[None, :], out, jnp.inf)
 
@@ -192,11 +197,13 @@ def adc_scan_scores_pallas(
     n_pad = codes.shape[0]
     # negation folded into the (k-major flattened) LUT
     lut_flat = (-lut.transpose(0, 2, 1).reshape(qn, m * k)).astype(jnp.bfloat16)
+    kidx = (jnp.arange(m * k, dtype=jnp.int32) // m)[None, :]
     return pl.pallas_call(
         _adc_kernel_scores,
         grid=(n_pad // tile_n,),
         in_specs=[
             pl.BlockSpec((qn, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -209,7 +216,7 @@ def adc_scan_scores_pallas(
             bytes_accessed=n_pad * m + qn * m * k * 2 + qn * n_pad * 2,
             transcendentals=0,
         ),
-    )(lut_flat, valid_i, codes)
+    )(lut_flat, kidx, valid_i, codes)
 
 
 def is_tpu_backend() -> bool:
