@@ -30,6 +30,16 @@ BASELINE_QPS = 1000.0  # estimated single-thread Java reference
 # corpus; see ROADMAP.md "PQ operating point").
 PQ_M = int(os.environ.get("VSTPU_PQ_M", "16"))
 PQ_K = int(os.environ.get("VSTPU_PQ_K", "256"))
+# Sealed-search mode for the sift benches: "flat" (PQ/ADC scan) or "exact"
+# (direct raw-vector MXU scan, config.sealed_search_mode).
+SEALED_MODE = os.environ.get("VSTPU_SEALED_MODE", "flat")
+# In exact mode, optionally skip PQ+graph builds at seal entirely
+# (pq_build_mode="skip_for_exact"): VSTPU_PQ_BUILD=skip.
+PQ_BUILD = (
+    "skip_for_exact"
+    if os.environ.get("VSTPU_PQ_BUILD") == "skip" and SEALED_MODE == "exact"
+    else "always"
+)
 
 
 def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
@@ -42,6 +52,11 @@ def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
             storage=MemoryStorage(), name="bench", dimension=d, metric="L2",
             max_segment_size=seg_size, pq_m=pq_m, pq_k=pq_k, graph_degree=degree,
             graph_build_breadth=breadth, graph_alpha=1.2,
+            sealed_search_mode=SEALED_MODE,
+            graph_build_mode=(
+                "skip_for_flat" if PQ_BUILD == "skip_for_exact" else "always"
+            ),
+            pq_build_mode=PQ_BUILD,
         )
     )
     gids = idx.add_all(x)

@@ -1,0 +1,255 @@
+"""sealed_search_mode="exact": direct raw-vector MXU scan replaces the PQ/ADC
+pipeline on the query path (core/index._sealed_exact_pool). The reference has
+no counterpart — its CPUs are memory-bound on raw vectors so it MUST scan
+codes (fdb/FdbVectorIndex.java:770-832); on TPU the raw matmul is 32x less
+MXU work than the one-hot ADC matmul at M=16,K=256,D=128 and the vectors are
+device-resident for the re-rank anyway. Semantics must match the flat path:
+score conventions, deleted-dropped-at-rerank, merge across segments, mesh
+sharding, and the graphless fallback."""
+
+import numpy as np
+import pytest
+
+from vectorsearch_tpu.config import VectorIndexConfig
+from vectorsearch_tpu.core.persist import MemoryStorage
+from vectorsearch_tpu.params import Mode, SearchParams
+from vectorsearch_tpu.types import SegmentState
+
+from tests.test_index_e2e import gaussian, make_index, run_builds
+
+
+def _recall_vs_brute(idx, x, gids, q, k, metric="L2", params=None):
+    res = idx.query_batch(q, k, params)
+    hits = 0
+    for i in range(q.shape[0]):
+        if metric == "COSINE":
+            sims = (x @ q[i]) / (
+                np.linalg.norm(x, axis=1) * np.linalg.norm(q[i]) + 1e-30
+            )
+            truth = np.argsort(-sims)[:k]
+        else:
+            truth = np.argsort(np.linalg.norm(x - q[i], axis=1))[:k]
+        hits += len({gids[t] for t in truth} & {r.gid for r in res[i]})
+    return hits / (q.shape[0] * k)
+
+
+def test_exact_multi_segment_recall(storage, rng):
+    """3 sealed segments + exact mode: recall@10 vs brute-force >= 0.95."""
+    idx = make_index(storage, max_segment_size=128,
+                     sealed_search_mode="exact")
+    x = gaussian(rng, 384, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    assert _recall_vs_brute(idx, x, gids, x[:64], 10) >= 0.95
+    idx.close()
+
+
+def test_exact_score_conventions_l2(storage, rng):
+    idx = make_index(storage, max_segment_size=64, sealed_search_mode="exact")
+    x = gaussian(rng, 64, d=8)
+    idx.add_all(x)
+    run_builds(idx)
+    res = idx.query(x[5], 3)
+    assert res[0].gid == 5
+    assert res[0].distance == pytest.approx(0.0, abs=1e-4)
+    assert res[0].score == pytest.approx(-res[0].distance, abs=1e-6)
+    assert res[1].distance >= res[0].distance
+    idx.close()
+
+
+def test_exact_cosine_conventions(storage, rng):
+    idx = make_index(storage, max_segment_size=64, metric="COSINE",
+                     sealed_search_mode="exact")
+    x = gaussian(rng, 130, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    res = idx.query(x[7], 5)
+    assert res[0].gid == gids[7]
+    assert res[0].score == pytest.approx(1.0, abs=1e-4)  # cosine sim
+    assert res[0].distance == pytest.approx(1.0 - res[0].score, abs=1e-6)
+    assert _recall_vs_brute(idx, x, gids, x[:32], 10, metric="COSINE") >= 0.95
+    idx.close()
+
+
+def test_exact_deleted_rows_dropped(storage, rng):
+    """Tombstoned rows never surface (dropped at re-rank, the parity
+    invariant) even though the exact pool ranks over `exists`."""
+    idx = make_index(storage, max_segment_size=64, sealed_search_mode="exact")
+    x = gaussian(rng, 128, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.delete_all(gids[:32])
+    res = idx.query_batch(x[:32], 10)
+    for i, r in enumerate(res):
+        assert gids[i] not in [s.gid for s in r]
+    idx.close()
+
+
+def test_exact_matches_flat_results(storage, rng):
+    """Exact and flat modes agree on nearly all top-k gids (both are
+    oversampled pools over the same corpus; PQ quantization is the only
+    divergence and this corpus is easy)."""
+    x = gaussian(rng, 256, d=8)
+    q = x[:32]
+
+    ie = make_index(storage, name="e", max_segment_size=128,
+                    sealed_search_mode="exact")
+    ge = ie.add_all(x)
+    run_builds(ie)
+    re_ = ie.query_batch(q, 10)
+    ie.close()
+
+    s2 = MemoryStorage()
+    if_ = make_index(s2, name="f", max_segment_size=128,
+                     sealed_search_mode="flat")
+    gf = if_.add_all(x)
+    run_builds(if_)
+    rf = if_.query_batch(q, 10)
+    if_.close()
+
+    agree = sum(
+        len({r.gid for r in re_[i]} & {r.gid for r in rf[i]})
+        for i in range(len(q))
+    ) / (len(q) * 10)
+    assert agree >= 0.9, agree
+
+
+def test_exact_skip_graph_build_and_beam_fallback(storage, rng):
+    """exact + skip_for_flat: segments seal graph-less; a BEAM-mode request
+    falls back to the exact pool (warn-once) instead of failing."""
+    idx = make_index(storage, max_segment_size=64,
+                     sealed_search_mode="exact",
+                     graph_build_mode="skip_for_flat")
+    x = gaussian(rng, 128, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    with idx.store.lock:
+        sealed = [s for s in idx.store.segments.values()
+                  if s.state == SegmentState.SEALED]
+    assert sealed and all(s.adjacency_np.shape[1] == 0 for s in sealed)
+    params = SearchParams(ef_search=64, beam_width=16, max_iters=4,
+                          max_explore=64, mode=Mode.BEAM)
+    res = idx.query_batch(x[:16], 10, params)
+    hits = sum(1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r])
+    assert hits >= 15
+    idx.close()
+
+
+def test_exact_mesh_sharded_query(storage, rng):
+    """Row-sharded exact query over the 8-device mesh: recall matches the
+    single-device exact index on the same corpus."""
+    from vectorsearch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    x = gaussian(rng, 384, d=8)
+    q = x[:32]
+
+    im = make_index(storage, name="m", max_segment_size=128, mesh=mesh,
+                    sealed_search_mode="exact")
+    gm = im.add_all(x)
+    run_builds(im)
+    rm = im.query_batch(q, 10)
+    recall_m = sum(
+        1 for i, r in enumerate(rm) if gm[i] in [s.gid for s in r]
+    ) / len(q)
+    im.close()
+    assert recall_m >= 0.95
+
+    s2 = MemoryStorage()
+    i1 = make_index(s2, name="s", max_segment_size=128,
+                    sealed_search_mode="exact")
+    g1 = i1.add_all(x)
+    run_builds(i1)
+    r1 = i1.query_batch(q, 10)
+    i1.close()
+    agree = sum(
+        len({r.gid for r in rm[i]} & {r.gid for r in r1[i]})
+        for i in range(len(q))
+    ) / (len(q) * 10)
+    assert agree >= 0.9, agree
+
+
+def test_exact_reopen_persists_mode_results(storage, rng):
+    """Close + reopen an exact-mode index: results unchanged (mode is config,
+    data round-trips through checkpoints/WAL)."""
+    kw = dict(max_segment_size=64, sealed_search_mode="exact")
+    idx = make_index(storage, **kw)
+    x = gaussian(rng, 128, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    before = idx.query_batch(x[:16], 5)
+    idx.close()
+    idx2 = make_index(storage, **kw)
+    after = idx2.query_batch(x[:16], 5)
+    idx2.close()
+    for b, a in zip(before, after):
+        assert [r.gid for r in b] == [r.gid for r in a]
+    assert gids[0] == before[0][0].gid
+
+
+def test_config_rejects_unknown_mode(storage):
+    with pytest.raises(ValueError, match="sealedSearchMode"):
+        VectorIndexConfig(storage=storage, name="bad", dimension=8,
+                          pq_m=4, pq_k=16, sealed_search_mode="hybrid")
+
+
+def test_pq_skip_for_exact_seals_codeless(storage, rng):
+    """pq_build_mode="skip_for_exact": seal is a metadata flip — zero-column
+    codes + adjacency planes — and queries still hit the recall gate."""
+    idx = make_index(storage, max_segment_size=64,
+                     sealed_search_mode="exact",
+                     graph_build_mode="skip_for_flat",
+                     pq_build_mode="skip_for_exact")
+    x = gaussian(rng, 192, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    with idx.store.lock:
+        sealed = [s for s in idx.store.segments.values()
+                  if s.state == SegmentState.SEALED]
+    assert sealed
+    for s in sealed:
+        assert s.codes_np.shape[1] == 0
+        assert s.adjacency_np.shape[1] == 0
+    assert _recall_vs_brute(idx, x, gids, x[:48], 10) >= 0.95
+    # deletes + reopen still round-trip
+    idx.delete_all(gids[:16])
+    idx.close()
+    idx2 = make_index(storage, max_segment_size=64,
+                      sealed_search_mode="exact",
+                      graph_build_mode="skip_for_flat",
+                      pq_build_mode="skip_for_exact")
+    res = idx2.query_batch(x[:16], 10)
+    for i, r in enumerate(res):
+        assert gids[i] not in [s.gid for s in r]
+    idx2.close()
+
+
+def test_pqless_segments_served_by_flat_process(storage, rng):
+    """A process configured for PQ scanning ("flat") opening PQ-less segments
+    serves them from the exact pool (warn-once) instead of failing."""
+    kw = dict(max_segment_size=64, sealed_search_mode="exact",
+              graph_build_mode="skip_for_flat",
+              pq_build_mode="skip_for_exact")
+    idx = make_index(storage, **kw)
+    x = gaussian(rng, 128, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.close()
+    idx2 = make_index(storage, max_segment_size=64,
+                      sealed_search_mode="flat")
+    res = idx2.query_batch(x[:32], 10)
+    hits = sum(1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r])
+    assert hits >= 31
+    idx2.close()
+
+
+def test_config_rejects_pq_skip_without_exact(storage):
+    with pytest.raises(ValueError, match="pqBuildMode"):
+        VectorIndexConfig(storage=storage, name="bad", dimension=8,
+                          pq_m=4, pq_k=16, pq_build_mode="skip_for_exact",
+                          sealed_search_mode="flat")
+    with pytest.raises(ValueError, match="pqBuildMode"):
+        VectorIndexConfig(storage=storage, name="bad", dimension=8,
+                          pq_m=4, pq_k=16, pq_build_mode="skip_for_exact",
+                          sealed_search_mode="exact",
+                          graph_build_mode="always")

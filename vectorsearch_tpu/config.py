@@ -249,13 +249,24 @@ class VectorIndexConfig:
     #   segments of a shape group as ONE disconnected graph with a single
     #   per-query exploration budget (the reference spends ef in EVERY
     #   segment). Changes per-segment ef/fan-in semantics — opt in.
-    sealed_search_mode: str = "flat"  # "flat" | "graph". flat (TPU-native
-    #   default): the candidate pool is the global ADC top-ef of the full
-    #   scan (computed anyway for seeds) — dominates any graph-traversal
-    #   pool at equal ef because the traversal ranks a visited SUBSET by
-    #   the same ADC distances (~22x QPS at >= recall on v5e; see
-    #   core/index._sealed_query_step). graph: the reference's BEST_FIRST
-    #   frontier expansion. BEAM mode / RANDOM_PIVOTS always traverse.
+    sealed_search_mode: str = "flat"  # "flat" | "exact" | "graph".
+    #   flat (default): the candidate pool is the global ADC top-ef of the
+    #     full PQ scan (computed anyway for seeds) — dominates any
+    #     graph-traversal pool at equal ef because the traversal ranks a
+    #     visited SUBSET by the same ADC distances (~22x QPS at >= recall
+    #     on v5e; see core/index._sealed_query_step).
+    #   exact: the pool is the approx top-k of a DIRECT raw-vector matmul —
+    #     no PQ/ADC on the query path at all. The one-hot ADC matmul spends
+    #     Q*(M*K)*N MACs to approximate what the raw matmul computes in
+    #     Q*D*N (32x less at M=16,K=256,D=128) — on a 16 GB-HBM chip whose
+    #     raw vectors are device-resident for the re-rank anyway, exhaustive
+    #     MXU scan IS the fast path (core/index._sealed_exact_pool). Recall
+    #     is exact up to bf16-multiply ranking noise at the (oversampled)
+    #     pool boundary. Prefer "flat" only when segments outgrow the
+    #     raw-vector HBM budget (codes are 16 B/row vs 4*D B/row).
+    #   graph: the reference's BEST_FIRST frontier expansion.
+    #   BEAM mode / RANDOM_PIVOTS always traverse (graph-less or exact-mode
+    #   segments fall back to their pool, warn-once).
     flat_ef_semantics: str = "buffer"  # "buffer" | "strict": the ef contract
     #   in flat mode (api/SearchParams.java:20-42). The graph path spends
     #   efSearch as an EXPLORATION budget, but its whole ef_buf candidate
@@ -278,6 +289,17 @@ class VectorIndexConfig:
     #   a traversal mode (BEAM / RANDOM_PIVOTS) against a graph-less segment
     #   fall back to the flat pool (warn-once), whose recall dominates the
     #   traversal pool at equal ef by construction.
+    pq_build_mode: str = "always"  # "always" | "skip_for_exact". The
+    #   reference always trains PQ at seal (its sealed search IS the ADC
+    #   scan, tasks/SegmentBuildService.java:174-209). Exact mode never
+    #   reads codes on the query path, so "skip_for_exact" skips PQ
+    #   training+encoding entirely when sealed_search_mode="exact" — sealing
+    #   becomes a metadata flip + checkpoint, and codes shed 16 B/row from
+    #   checkpoints and HBM. Segments sealed this way carry a zero-column
+    #   codes plane; a process that later opens them with a PQ-scanning mode
+    #   ("flat"/"graph") serves them from the exact pool (warn-once).
+    #   Requires sealed_search_mode="exact" and graph_build_mode=
+    #   "skip_for_flat" (the graph path ranks by ADC and needs codes).
     payload_storage: str = "list"  # "list" | "arena". list: one Python object
     #   per row — feeds the C result builder (fastest objects API), fine to
     #   ~1M rows. arena: one bytes blob + int64 offset planes per segment
@@ -335,8 +357,10 @@ class VectorIndexConfig:
             raise ValueError("graphAlpha must be >= 0")
         if self.oversample <= 0:
             raise ValueError("oversample must be positive")
-        if self.sealed_search_mode not in ("flat", "graph"):
-            raise ValueError("sealedSearchMode must be 'flat' or 'graph'")
+        if self.sealed_search_mode not in ("flat", "exact", "graph"):
+            raise ValueError(
+                "sealedSearchMode must be 'flat', 'exact' or 'graph'"
+            )
         if self.flat_ef_semantics not in ("buffer", "strict"):
             raise ValueError("flatEfSemantics must be 'buffer' or 'strict'")
         if self.payload_storage not in ("list", "arena"):
@@ -344,6 +368,19 @@ class VectorIndexConfig:
         if self.graph_build_mode not in ("always", "skip_for_flat"):
             raise ValueError(
                 "graphBuildMode must be 'always' or 'skip_for_flat'"
+            )
+        if self.pq_build_mode not in ("always", "skip_for_exact"):
+            raise ValueError(
+                "pqBuildMode must be 'always' or 'skip_for_exact'"
+            )
+        if self.pq_build_mode == "skip_for_exact" and (
+            self.sealed_search_mode != "exact"
+            or self.graph_build_mode != "skip_for_flat"
+        ):
+            raise ValueError(
+                "pqBuildMode='skip_for_exact' requires sealedSearchMode="
+                "'exact' and graphBuildMode='skip_for_flat' (the PQ-scanning "
+                "and graph paths need codes)"
             )
         # Validate operational fields by constructing the effective WorkerConfig.
         object.__setattr__(self, "_effective_worker", self._build_effective_worker())
@@ -354,9 +391,11 @@ class VectorIndexConfig:
         if self.mesh is not None:
             if not hasattr(self.mesh, "devices"):
                 raise ValueError("mesh must be a jax.sharding.Mesh")
-            if self.sealed_search_mode != "flat":
-                raise ValueError("mesh requires sealedSearchMode='flat' "
-                                 "(sharded graph traversal is not supported)")
+            if self.sealed_search_mode not in ("flat", "exact"):
+                raise ValueError(
+                    "mesh requires sealedSearchMode='flat' or 'exact' "
+                    "(sharded graph traversal is not supported)"
+                )
             if self.device_placement != "default":
                 raise ValueError("mesh and devicePlacement='round_robin' are "
                                  "mutually exclusive distribution modes")

@@ -96,6 +96,20 @@ class SegmentBuildService:
             self._seal(seg_id, codes, codebook, adjacency)
             return
 
+        if cfg.pq_build_mode == "skip_for_exact":
+            # Exact mode never reads codes/codebook/adjacency on the query
+            # path: sealing is a metadata flip + checkpoint. Zero-column
+            # codes + adjacency planes mark the segment PQ-less/graph-less
+            # (a PQ-scanning process falls back to the exact pool — see
+            # index._pqless; config validated the mode combination).
+            self._seal(
+                seg_id,
+                np.zeros((seg.cap_pad, 0), np.uint8),
+                np.zeros((0, 0, 0), np.float32),
+                np.zeros((seg.cap_pad, 0), np.int32),
+            )
+            return
+
         # Snapshot row data (tombstones included — parity with reference which
         # builds artifacts for every stored VectorRecord).
         with self.store.lock:
@@ -139,11 +153,11 @@ class SegmentBuildService:
 
         if (
             cfg.graph_build_mode == "skip_for_flat"
-            and cfg.sealed_search_mode == "flat"
+            and cfg.sealed_search_mode in ("flat", "exact")
         ):
-            # Flat search never reads adjacency: a zero-column plane marks
-            # the segment as graph-less (queries requesting traversal modes
-            # fall back to the flat pool; see index._query_batch).
+            # Flat/exact search never reads adjacency: a zero-column plane
+            # marks the segment as graph-less (queries requesting traversal
+            # modes fall back to the pool; see index._query_batch).
             self._seal(
                 seg_id, np.array(codes), np.array(codebook),
                 np.zeros((seg.cap_pad, 0), np.int32),

@@ -51,6 +51,7 @@ from vectorsearch_tpu.core.tasks import (
     TaskQueue,
     VacuumTask,
 )
+from vectorsearch_tpu.ops import distance as distance_ops
 from vectorsearch_tpu.ops import pq as pq_ops
 from vectorsearch_tpu.ops import topk as topk_ops
 from vectorsearch_tpu.ops import traversal as traversal_ops
@@ -75,6 +76,26 @@ def _dummy_adj():
     return _DUMMY_ADJ
 
 
+# Stand-in PQ planes for exact-mode sealed queries (the exact branch never
+# reads codes or codebook; real uploads would waste HBM + transfer).
+_DUMMY_CODES = None
+_DUMMY_CODEBOOK = None
+
+
+def _dummy_codes():
+    global _DUMMY_CODES
+    if _DUMMY_CODES is None:
+        _DUMMY_CODES = jnp.zeros((1, 1), jnp.uint8)
+    return _DUMMY_CODES
+
+
+def _dummy_codebook():
+    global _DUMMY_CODEBOOK
+    if _DUMMY_CODEBOOK is None:
+        _DUMMY_CODEBOOK = jnp.zeros((1, 1, 1), jnp.float32)
+    return _DUMMY_CODEBOOK
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     """Rounds up to a power of two for jit shape reuse."""
     b = lo
@@ -87,6 +108,13 @@ def _graphless(seg) -> bool:
     """Sealed with graph_build_mode="skip_for_flat": the zero-column
     adjacency plane marks the segment as having no traversal graph."""
     return seg.adjacency_np is not None and seg.adjacency_np.shape[1] == 0
+
+
+def _pqless(seg) -> bool:
+    """Sealed with pq_build_mode="skip_for_exact": the zero-column codes
+    plane marks the segment as having no PQ artifacts — it can only be
+    served from the exact (raw-vector) pool."""
+    return seg.codes_np is not None and seg.codes_np.shape[1] == 0
 
 
 @functools.partial(jax.jit, static_argnames=("ef_buf", "flat_strict"))
@@ -109,6 +137,32 @@ def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
             < jnp.asarray(ef_dyn, jnp.int32)
         )
     return jnp.where(ok, idx.astype(jnp.int32), -1)
+
+
+@functools.partial(jax.jit, static_argnames=("ef_buf", "metric"))
+def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
+    """Exact-mode candidate pool (config.sealed_search_mode="exact"): rank
+    ALL rows with one default-precision MXU matmul on the raw device-resident
+    vectors (kept there for the re-rank anyway) and take the approx top-ef.
+
+    Why this beats the ADC scan on TPU: the one-hot ADC matmul spends
+    Q*(M*K)*N MACs to APPROXIMATE the ranking the raw matmul computes
+    near-exactly in Q*D*N — at M=16, K=256, D=128 that is 32x the MXU work
+    for a lossy result. The reference scans PQ codes because its CPUs are
+    memory-bound on raw vectors (fdb/FdbVectorIndex.java:770-832); a TPU
+    with 16 GB HBM and a systolic array is not (100k x 128d f32 = 51 MB,
+    one HBM pass at full MXU utilization). PQ/ADC ("flat" mode) remains the
+    right trade when segments outgrow the raw-vector HBM budget.
+
+    Because the scan itself is near-exact (bf16 multiply rounding only), the
+    pool only needs to cover the re-rank width plus slack — NOT the
+    recall-driven efSearch a lossy scan needs — so the dispatcher sizes
+    ef_buf from per_seg_limit and the [Q, ef] re-rank gather stays tiny.
+    efSearch/beam have no exploration counterpart here (documented with the
+    flat ef contract in config.flat_ef_semantics)."""
+    scores = distance_ops.pairwise_rank_scores(q, vectors, valid, metric)
+    neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.95)
+    return jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
 
 
 @jax.jit
@@ -154,14 +208,14 @@ def _sealed_rerank_slots(q, vectors, alive, cand_idx, slot_base, *, rr, metric):
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat", "flat_strict",
+        "rr", "metric", "flat", "flat_strict", "exact",
     ),
 )
 def _sealed_query_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False, flat_strict=False,
+    flat=False, flat_strict=False, exact=False,
 ):
     """The fused sealed-segment query: LUT build -> full ADC scan -> seed
     top-k -> graph expansion -> exact re-rank, one XLA program
@@ -176,8 +230,16 @@ def _sealed_query_step(
     QPS measured on v5e: graph expansion steps are gather-bound at ~36 ms
     per step at Q=512/N=100k while the whole flat pipeline runs in ~9 ms).
     The graph path remains for BEAM-mode parity and scan-free designs.
+
+    ``exact=True`` (config.sealed_search_mode="exact"): the pool is the
+    approx top-ef of a direct raw-vector matmul — no PQ/ADC anywhere on the
+    query path (see _sealed_exact_pool for the MXU-work argument).
     """
-    if flat:
+    if exact:
+        cand_idx = _sealed_exact_pool(
+            q, vectors, exists, ef_buf=ef_buf, metric=metric
+        )
+    elif flat:
         # Pool = the full static buffer by default (ef bucketed up to
         # ef_buf), matching the graph path's effective semantics: there too
         # the whole ef_buf candidate buffer reaches the re-rank — ef_dyn only
@@ -205,14 +267,14 @@ def _sealed_query_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat", "flat_strict",
+        "rr", "metric", "flat", "flat_strict", "exact",
     ),
 )
 def _sealed_query_slot_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
     ef_dyn, beam_dyn, slot_base,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False, flat_strict=False,
+    flat=False, flat_strict=False, exact=False,
 ):
     """_sealed_query_step plus the per-result segment-slot array, so the
     per-segment dispatch is exactly one XLA call."""
@@ -221,7 +283,7 @@ def _sealed_query_slot_step(
         ef_dyn, beam_dyn,
         ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
         min_steps=min_steps, refine_frontier=refine_frontier,
-        rr=rr, metric=metric, flat=flat, flat_strict=flat_strict,
+        rr=rr, metric=metric, flat=flat, flat_strict=flat_strict, exact=exact,
     )
     slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
     return sc, di, iv, slots
@@ -231,7 +293,7 @@ def _sealed_query_slot_step(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat", "flat_strict",
+        "rr", "metric", "flat", "flat_strict", "exact",
     ),
 )
 def _stacked_sealed_query(
@@ -246,7 +308,7 @@ def _stacked_sealed_query(
     beam_arr,  # i32[S] per-segment tuned beam
     slot_base,  # i32 scalar: global segment-slot offset of this stack
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False, flat_strict=False,
+    flat=False, flat_strict=False, exact=False,
 ):
     """ALL sealed segments in one XLA program: vmap of the fused sealed query
     over the stacked segment axis, results flattened to [Q, S*rr] with a
@@ -258,6 +320,7 @@ def _stacked_sealed_query(
             ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
             min_steps=min_steps, refine_frontier=refine_frontier,
             rr=rr, metric=metric, flat=flat, flat_strict=flat_strict,
+            exact=exact,
         )
 
     s, d, i = jax.vmap(one)(
@@ -346,7 +409,7 @@ def _multi_sealed_query(
     jax.jit,
     static_argnames=(
         "ef_buf", "beam_buf", "max_steps", "min_steps", "refine_frontier",
-        "rr", "metric", "flat", "flat_strict",
+        "rr", "metric", "flat", "flat_strict", "exact",
     ),
 )
 def _unified_sealed_query(
@@ -361,7 +424,7 @@ def _unified_sealed_query(
     beam_dyn,  # i32 scalar
     slot_base,  # python int
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
-    flat=False, flat_strict=False,
+    flat=False, flat_strict=False, exact=False,
 ):
     """Unified cross-segment search (TPU-native extension; opt-in via
     config.unified_search): all sealed segments of a shape group form ONE
@@ -375,18 +438,28 @@ def _unified_sealed_query(
     (no traversal; see _sealed_query_step for the dominance argument)."""
     s_count, n, d = vectors_s.shape
     qn = q.shape[0]
-    approx_cols = []
-    for si in range(s_count):  # unrolled; S static per group shape
-        lut = pq_ops.build_lut(q, codebooks_s[si])
-        approx_cols.append(pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si]))
-    approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
+    if exact:
+        # direct raw-vector ranking over the whole group (no PQ/ADC);
+        # -scores is a valid "approx" distance stand-in for the traversal-
+        # free pool below (only finiteness + order are consumed)
+        approx = -distance_ops.pairwise_rank_scores(
+            q, vectors_s.reshape(s_count * n, d), exists_s.reshape(-1), metric
+        )
+    else:
+        approx_cols = []
+        for si in range(s_count):  # unrolled; S static per group shape
+            lut = pq_ops.build_lut(q, codebooks_s[si])
+            approx_cols.append(
+                pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si])
+            )
+        approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
 
-    if flat:
+    if flat or exact:
         # full-buffer pool by default; see _sealed_flat_pool for the ef
         # contract (flat_strict masks to the shared dynamic ef)
         neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
         ok = jnp.isfinite(neg)
-        if flat_strict:
+        if flat_strict and not exact:  # ef has no exact-mode counterpart
             ok = ok & (
                 jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
                 < jnp.asarray(ef_dyn, jnp.int32)
@@ -878,10 +951,11 @@ class VectorIndex:
         # anyway for seeds — which dominates any traversal pool at equal ef
         # (see _sealed_query_step). BEAM mode and RANDOM_PIVOTS are traversal
         # concepts and keep the graph path for parity.
-        flat = (
-            self.config.sealed_search_mode == "flat"
-            and params.mode == Mode.BEST_FIRST
-        )
+        mode_cfg = self.config.sealed_search_mode
+        flat = mode_cfg == "flat" and params.mode == Mode.BEST_FIRST
+        # Exact mode (sealed_search_mode="exact"): direct raw-vector matmul
+        # pool, no PQ/ADC on the query path (see _sealed_exact_pool).
+        exact = mode_cfg == "exact" and params.mode == Mode.BEST_FIRST
         flat_strict = self.config.flat_ef_semantics == "strict"
         # Breakdown sampling (reference records pq_scan/traversal/rerank per
         # sealed query, fdb/FdbVectorIndex.java:99-116; our phases fuse into
@@ -895,10 +969,18 @@ class VectorIndex:
             # zero-column adjacency: any traversal-mode request falls back to
             # the flat pool for the whole group — never worse, the flat pool
             # dominates a traversal pool at equal ef (see _sealed_query_step).
-            gflat = flat
-            if not gflat and any(_graphless(seg) for seg in group):
+            gflat, gexact = flat, exact
+            if not (gflat or gexact) and any(_graphless(seg) for seg in group):
                 self._warn_graphless_once()
-                gflat = True
+                if mode_cfg == "exact":
+                    gexact = True
+                else:
+                    gflat = True
+            # PQ-less segments (pq_build_mode="skip_for_exact") can only be
+            # served from the exact pool, whatever this process configured.
+            if not gexact and any(_pqless(seg) for seg in group):
+                self._warn_pqless_once()
+                gflat, gexact = False, True
             if not use_stacked:
                 for seg in group:
                     res = self._search_sealed(qd, qs, seg, k, per_seg_limit, params)
@@ -912,7 +994,15 @@ class VectorIndex:
                 continue
             # Group-level static buckets (one compile per group shape).
             tuned = [self._auto_tune(seg, k, params) for seg in group]
-            ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
+            if gexact:
+                # The exact pool only needs to cover the re-rank width: the
+                # scan is already a near-exact ranking of ALL rows, so the
+                # recall-driven efSearch sizing of the lossy ADC scan does
+                # not apply. 2x slack absorbs approx_max_k bucket collisions
+                # and tombstoned rows (dropped at re-rank).
+                ef_buf = min(_bucket(max(2 * per_seg_limit, k, 32)), cap)
+            else:
+                ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
             beam_buf = min(_bucket(max(t[1] for t in tuned), lo=8), ef_buf)
             if params.mode == Mode.BEST_FIRST:
                 max_steps, min_steps, refine = ef_buf, 0, True
@@ -925,13 +1015,14 @@ class VectorIndex:
             # over config.mesh; per-shard scan+rerank, O(devices*rr) ICI merge
             # (parallel/mesh.py::sharded_flat_query). Requires flat mode
             # (validated at config); RANDOM_PIVOTS took the fallback above.
-            if self.config.mesh is not None and gflat:
+            if self.config.mesh is not None and (gflat or gexact):
                 from vectorsearch_tpu.parallel import mesh as mesh_ops
 
                 rr = min(per_seg_limit, ef_buf)
                 fn = mesh_ops.sharded_flat_query(
                     self.config.mesh, ef_buf=ef_buf, rr=rr,
                     metric=self.config.metric, flat_strict=flat_strict,
+                    exact=gexact,
                 )
                 for seg, (tuned_ef, _tb) in zip(group, tuned):
                     base = len(seg_list)
@@ -971,7 +1062,7 @@ class VectorIndex:
                         refine_frontier=refine,
                         rr=min(per_seg_limit * len(group), u_ef_buf),
                         metric=self.config.metric, flat=gflat,
-                        flat_strict=flat_strict,
+                        flat_strict=flat_strict, exact=gexact,
                     )
                 )
                 continue
@@ -1015,24 +1106,31 @@ class VectorIndex:
                         ef_buf=ef_buf, beam_buf=beam_buf,
                         max_steps=max_steps, min_steps=min_steps,
                         refine_frontier=refine, rr=rr,
-                        flat=gflat, flat_strict=flat_strict,
+                        flat=gflat, flat_strict=flat_strict, exact=gexact,
                     )
                     entries.append(entry)
                     continue
                 # flat mode never traverses: skip the adjacency upload
                 # entirely (HBM saved per sealed segment; XLA DCEs the dummy)
                 adj = (
-                    _dummy_adj() if gflat else self.caches.get_adjacency(seg)
+                    _dummy_adj()
+                    if gflat or gexact
+                    else self.caches.get_adjacency(seg)
                 )
+                if gexact:
+                    # exact mode never reads PQ planes: skip the codes
+                    # upload (16 B/row of HBM) and codebook cache traffic
+                    cb, codes = _dummy_codebook(), _dummy_codes()
+                else:
+                    cb, codes = self.caches.get_codebook(seg), seg.codes_dev
                 sc, di, iv, slots = _sealed_query_slot_step(
-                    qd, seg.vectors_dev, self.caches.get_codebook(seg),
-                    seg.codes_dev, adj,
+                    qd, seg.vectors_dev, cb, codes, adj,
                     seg.exists_dev, seg.alive_dev,
                     tuned_ef, tuned_beam, base,
                     ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
                     min_steps=min_steps, refine_frontier=refine,
                     rr=rr, metric=self.config.metric,
-                    flat=gflat, flat_strict=flat_strict,
+                    flat=gflat, flat_strict=flat_strict, exact=gexact,
                 )
                 entries.append((sc, di, iv, slots))
 
@@ -1188,18 +1286,31 @@ class VectorIndex:
     def _sealed_split_profiled(
         self, qd, seg: Segment, tuned_ef, tuned_beam, slot_base,
         *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr,
-        flat, flat_strict,
+        flat, flat_strict, exact=False,
     ):
         """The hot-path sealed query dispatched as split phase programs with a
         device sync after each, recording the reference's per-phase breakdown
         histograms (fdb/FdbVectorIndex.java:99-116) with real measurements.
         Results are identical to the fused program; used on sampled batches
         only (config.query_breakdown_sample_every)."""
-        codebook = self.caches.get_codebook(seg)
         t0 = time.monotonic()
-        if flat:
+        if exact:
+            # exact mode's scan phase is the raw matmul; recorded under the
+            # reference's pq_scan instrument (it IS the scan phase)
+            cand_idx = _sealed_exact_pool(
+                qd, seg.vectors_dev, seg.exists_dev,
+                ef_buf=ef_buf, metric=self.config.metric,
+            )
+            jax.block_until_ready(cand_idx)
+            t1 = time.monotonic()
+            self._metrics.record(
+                "vectorsearch.query.pq_scan_ms", (t1 - t0) * 1000.0
+            )
+            self._metrics.record("vectorsearch.query.graph_traversal_ms", 0.0)
+        elif flat:
             cand_idx = _sealed_flat_pool(
-                qd, codebook, seg.codes_dev, seg.exists_dev,
+                qd, self.caches.get_codebook(seg), seg.codes_dev,
+                seg.exists_dev,
                 jnp.int32(tuned_ef), ef_buf=ef_buf, flat_strict=flat_strict,
             )
             jax.block_until_ready(cand_idx)
@@ -1211,7 +1322,8 @@ class VectorIndex:
             self._metrics.record("vectorsearch.query.graph_traversal_ms", 0.0)
         else:
             approx = _sealed_approx_scan(
-                qd, codebook, seg.codes_dev, seg.exists_dev
+                qd, self.caches.get_codebook(seg), seg.codes_dev,
+                seg.exists_dev,
             )
             jax.block_until_ready(approx)
             t1 = time.monotonic()
@@ -1251,6 +1363,15 @@ class VectorIndex:
                 "to the flat pool (this warning is logged once)"
             )
 
+    def _warn_pqless_once(self) -> None:
+        if not getattr(self, "_pqless_warned", False):
+            self._pqless_warned = True
+            LOG.warning(
+                "PQ-scanning query mode against segments sealed with "
+                "pqBuildMode='skip_for_exact' (no codes); serving them from "
+                "the exact raw-vector pool (this warning is logged once)"
+            )
+
     def _search_sealed(self, qd, qs, seg: Segment, k: int, limit: int,
                        params: SearchParams):
         n_codes = seg.exists_count()
@@ -1261,12 +1382,19 @@ class VectorIndex:
             # the RANDOM_PIVOTS/traversal request from the flat pool instead.
             self._warn_graphless_once()
             tuned_ef, _tb = self._auto_tune(seg, k, params)
-            ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
-            cand_idx = _sealed_flat_pool(
-                qd, self.caches.get_codebook(seg), seg.codes_dev,
-                seg.exists_dev, jnp.int32(tuned_ef), ef_buf=ef_buf,
-                flat_strict=self.config.flat_ef_semantics == "strict",
-            )
+            if self.config.sealed_search_mode == "exact" or _pqless(seg):
+                ef_buf = min(_bucket(max(2 * limit, k, 32)), seg.cap_pad)
+                cand_idx = _sealed_exact_pool(
+                    qd, seg.vectors_dev, seg.exists_dev,
+                    ef_buf=ef_buf, metric=self.config.metric,
+                )
+            else:
+                ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
+                cand_idx = _sealed_flat_pool(
+                    qd, self.caches.get_codebook(seg), seg.codes_dev,
+                    seg.exists_dev, jnp.int32(tuned_ef), ef_buf=ef_buf,
+                    flat_strict=self.config.flat_ef_semantics == "strict",
+                )
             scores, dists, idx = traversal_ops.exact_rerank(
                 qd, seg.vectors_dev, seg.alive_dev, cand_idx,
                 min(limit, ef_buf), self.config.metric,

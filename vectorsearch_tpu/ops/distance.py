@@ -73,6 +73,37 @@ def pairwise_cosine(q: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(denom == 0.0, 0.0, cross / jnp.where(denom == 0.0, 1.0, denom))
 
 
+def pairwise_rank_scores(
+    q: jax.Array,  # f32[Q, D]
+    x: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N]
+    metric: str = "L2",
+) -> jax.Array:
+    """Masked, higher-is-better RANKING scores for the exact sealed scan
+    (config.sealed_search_mode="exact"): ONE default-precision MXU matmul
+    (bf16 multiplies, f32 accumulation) with no [Q, N] epilogue beyond the
+    validity mask.
+
+    Only ORDER matters here — the consumer re-scores its small candidate
+    pool with the HIGHEST-precision kernels above — so per-query-constant
+    terms are dropped and no sqrt is taken:
+      L2     -> 2 q.x - ||x||^2   (= ||q||^2 - dist^2 up to a per-query shift)
+      COSINE -> (q.x) / ||x||     (the per-query 1/||q|| > 0 factor dropped;
+                zero-norm rows score 0.0, the reference's convention)
+    Invalid rows -> -inf.
+    """
+    q = q.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)  # [Q, N]
+    if metric == "COSINE":
+        xn = jnp.sqrt(jnp.sum(x * x, axis=-1))[None, :]  # [1, N]
+        s = jnp.where(xn == 0.0, 0.0, cross / jnp.where(xn == 0.0, 1.0, xn))
+    else:
+        x_sq = jnp.sum(x * x, axis=-1)[None, :]  # [1, N]
+        s = 2.0 * cross - x_sq
+    return jnp.where(valid[None, :], s, -jnp.inf)
+
+
 def scores_from_distances(
     metric: str, q: jax.Array, x: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

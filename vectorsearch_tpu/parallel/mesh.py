@@ -121,7 +121,7 @@ def sharded_adc_topk(mesh: Mesh, k: int):
 @functools.lru_cache(maxsize=None)
 def sharded_flat_query(
     mesh: Mesh, *, ef_buf: int, rr: int, metric: str = "L2",
-    flat_strict: bool = False,
+    flat_strict: bool = False, exact: bool = False,
 ):
     """Returns a jitted SPMD sealed-segment flat query
     (q, codebook, codes_sh, exists_sh, vectors_sh, alive_sh, ef_dyn,
@@ -137,19 +137,30 @@ def sharded_flat_query(
     ``flat_strict`` applies the literal efSearch contract per shard (each
     shard's pool masked to ef_dyn; the merged pool is then at most
     devices*ef_dyn — a superset of the single-device strict pool, documented
-    in config.flat_ef_semantics)."""
+    in config.flat_ef_semantics).
+
+    ``exact=True`` (config.sealed_search_mode="exact"): each shard's pool is
+    the approx top-ef of a direct raw-vector matmul — no PQ/ADC anywhere
+    (core/index._sealed_exact_pool sharded over rows; codes/codebook
+    operands are ignored and DCEd)."""
+    from vectorsearch_tpu.ops import distance as distance_ops
     from vectorsearch_tpu.ops import pq as pq_ops
     from vectorsearch_tpu.ops import traversal as traversal_ops
 
     def local_fn(q, codebook, codes, exists, vectors, alive, ef_dyn, slot_base):
-        n_local = codes.shape[0]
+        n_local = vectors.shape[0]
         shard = jax.lax.axis_index(DATA_AXIS)
-        lut = pq_ops.build_lut(q, codebook)
-        neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
         local_ef = min(ef_buf, n_local)
+        if exact:
+            neg_scores = distance_ops.pairwise_rank_scores(
+                q, vectors, exists, metric
+            )
+        else:
+            lut = pq_ops.build_lut(q, codebook)
+            neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
         neg, idx = jax.lax.approx_max_k(neg_scores, local_ef, recall_target=0.95)
         ok = neg > -jnp.inf
-        if flat_strict:
+        if flat_strict and not exact:  # ef has no exact-mode counterpart
             ok = ok & (
                 jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
                 < jnp.asarray(ef_dyn, jnp.int32)
