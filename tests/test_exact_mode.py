@@ -253,3 +253,40 @@ def test_config_rejects_pq_skip_without_exact(storage):
                           pq_m=4, pq_k=16, pq_build_mode="skip_for_exact",
                           sealed_search_mode="exact",
                           graph_build_mode="always")
+
+
+def test_unified_exact_group_is_default_and_matches_bruteforce(storage, rng):
+    """Exact multi-segment groups route through _unified_sealed_query by
+    default (one [Q, S*N] program; exact ranking makes the single global
+    pool equivalent to the per-segment merge) on a LEAN stack that never
+    stacks PQ/graph planes — which is what lets PQ-less segments
+    (pq_build_mode="skip_for_exact") share one program at all."""
+    idx = make_index(storage, max_segment_size=64,
+                     sealed_search_mode="exact",
+                     graph_build_mode="skip_for_flat",
+                     pq_build_mode="skip_for_exact")
+    x = gaussian(rng, 256, d=8)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    assert not idx.config.unified_search  # default off; exact opts in itself
+    assert _recall_vs_brute(idx, x, gids, x[:64], 10) >= 0.97
+    # the lean stack was built (and cached) without PQ/adjacency planes
+    lean_keys = [k for k in idx._stacks._sealed if k[0] == "sealed-lean"]
+    assert lean_keys, list(idx._stacks._sealed)
+    st = idx._stacks._sealed[lean_keys[0]]
+    assert st.codes.shape[1:] == (1, 1) and st.adjacency.shape[1:] == (1, 1)
+    assert st.vectors.shape[0] >= 2  # really a multi-segment group
+    idx.close()
+
+
+def test_delete_single_vs_batch_type_guard(storage, rng):
+    """delete() takes one gid; passing a sequence raises a TypeError naming
+    delete_all (a silent wrap used to produce a confusing store error)."""
+    idx = make_index(storage, max_segment_size=64)
+    gids = idx.add_all(gaussian(rng, 8, d=8))
+    with pytest.raises(TypeError, match="delete_all"):
+        idx.delete(gids[:2])
+    idx.delete(gids[0])  # int path still fine
+    idx.delete(np.int64(gids[1]))  # numpy ints too
+    assert idx.resolve_ids([gids[0], gids[1]]) == [(-1, -1), (-1, -1)]
+    idx.close()

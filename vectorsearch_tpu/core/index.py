@@ -161,7 +161,11 @@ def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
     efSearch/beam have no exploration counterpart here (documented with the
     flat ef contract in config.flat_ef_semantics)."""
     scores = distance_ops.pairwise_rank_scores(q, vectors, valid, metric)
-    neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.95)
+    # The pool's approx top-k is exact mode's ONLY recall loss (the scan is a
+    # true ranking), so spend the stricter reduction here: 0.95 let a true
+    # rank-2 neighbor fall out of the pool ~1/1000 queries (caught by the
+    # package-boundary verify); the scan still dominates the program.
+    neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.999)
     return jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
 
 
@@ -456,8 +460,11 @@ def _unified_sealed_query(
 
     if flat or exact:
         # full-buffer pool by default; see _sealed_flat_pool for the ef
-        # contract (flat_strict masks to the shared dynamic ef)
-        neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
+        # contract (flat_strict masks to the shared dynamic ef). Exact mode
+        # pays for the stricter reduction: the pool is its only recall loss.
+        neg, idx = jax.lax.approx_max_k(
+            -approx, ef_buf, recall_target=0.999 if exact else 0.95
+        )
         ok = jnp.isfinite(neg)
         if flat_strict and not exact:  # ef has no exact-mode counterpart
             ok = ok & (
@@ -679,6 +686,10 @@ class VectorIndex:
     # ---------------------------------------------------------------- delete
 
     def delete(self, gid: int) -> None:
+        if not isinstance(gid, (int, np.integer)):
+            raise TypeError(
+                "delete() takes a single gid; use delete_all(gids) for a batch"
+            )
         self.delete_all([gid])
 
     def delete_all(self, gids) -> None:
@@ -813,6 +824,23 @@ class VectorIndex:
             raise ValueError(f"unknown maintenance task: {task!r}")
 
     def await_indexing_complete(self, timeout: Optional[float] = None) -> bool:
+        # Parity: with no local workers and no global queue, tasks sit until
+        # an external worker claims them (reference defaults
+        # localWorkerThreads=0, config/VectorIndexConfig.java:399) — but a
+        # process with nothing wired to process builds would wait forever
+        # here, so flag the foot-gun once instead of hanging silently.
+        if (
+            timeout is None
+            and self._build_pool is None
+            and self.config.global_task_queues is None
+            and self.build_queue.has_visible_unclaimed_tasks()
+        ):
+            logger.warning(
+                "await_indexing_complete() called with localWorkerThreads=0 "
+                "and no global task queue: nothing in this process will "
+                "claim build tasks; this call blocks until an external "
+                "worker drains the queue"
+            )
         return self.build_queue.await_queue_empty(timeout)
 
     # ------------------------------------------------------------ inspection
@@ -1036,21 +1064,34 @@ class VectorIndex:
                     )
                 continue
 
-            # Unified cross-segment search (opt-in): one disconnected graph,
-            # one per-query budget, one program for the whole group.
+            # Unified cross-segment search: one program for the whole group.
+            # Opt-in for the lossy pools (one shared exploration budget
+            # CHANGES semantics vs the reference's per-segment ef) — but the
+            # DEFAULT for exact multi-segment groups: exact ranking is true
+            # ranking, so the global top-pool merged once equals the merged
+            # per-segment pools, for ONE [Q, S*N] matmul + one top-k + one
+            # re-rank instead of S of each.
             approx_bytes = len(group) * nq * group[0].cap_pad * 4
             if (
-                self.config.unified_search
+                (self.config.unified_search or gexact)
                 and len(group) > 1
                 and not multi_device
                 and approx_bytes <= (1 << 31)
             ):
-                stack = self._stacks.sealed(group)
+                stack = self._stacks.sealed(group, lean=gexact)
                 base = len(seg_list)
                 seg_list.extend(group)
                 total_codes = sum(seg.exists_count() for seg in group)
                 u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
-                u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
+                if gexact:
+                    # pool covers the GLOBAL re-rank width (see the exact
+                    # ef_buf sizing above); results match per-segment merge
+                    u_ef_buf = min(
+                        _bucket(max(2 * per_seg_limit, k, 32)),
+                        len(group) * cap,
+                    )
+                else:
+                    u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
                 u_beam_buf = min(_bucket(u_beam, lo=8), u_ef_buf)
                 entries.append(
                     _unified_sealed_query(

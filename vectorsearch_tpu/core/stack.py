@@ -31,15 +31,26 @@ from vectorsearch_tpu.core.segment import Segment
 
 
 class SealedStack:
-    def __init__(self, segments: Sequence[Segment]):
+    def __init__(self, segments: Sequence[Segment], lean: bool = False):
+        """``lean=True`` (exact-mode stacks): only the row planes the raw-
+        vector scan reads are stacked; PQ/graph planes become tiny dummies
+        (never read, DCEd from the program — some segments may not even have
+        them, pq_build_mode="skip_for_exact")."""
         self.segments = list(segments)
         self.vectors = jnp.stack([s.vectors_dev for s in segments])
-        self.codes = jnp.stack([s.codes_dev for s in segments])
-        self.codebooks = jnp.stack([s.codebook_dev for s in segments])
-        self.adjacency = jnp.stack([s.adjacency_dev for s in segments])
         self.exists = jnp.stack([s.exists_dev for s in segments])
         self.alive = jnp.stack([s.alive_dev for s in segments])
-        self._adjacency_global = None
+        s_count = len(segments)
+        if lean:
+            self.codes = jnp.zeros((s_count, 1, 1), jnp.uint8)
+            self.codebooks = jnp.zeros((s_count, 1, 1, 1), jnp.float32)
+            self.adjacency = jnp.full((s_count, 1, 1), -1, jnp.int32)
+            self._adjacency_global = jnp.full((1, 1), -1, jnp.int32)
+        else:
+            self.codes = jnp.stack([s.codes_dev for s in segments])
+            self.codebooks = jnp.stack([s.codebook_dev for s in segments])
+            self.adjacency = jnp.stack([s.adjacency_dev for s in segments])
+            self._adjacency_global = None
 
     @property
     def adjacency_global(self):
@@ -91,13 +102,15 @@ class StackCache:
     def _key(segments: Sequence[Segment]) -> tuple:
         return tuple((s.seg_id, s.version) for s in segments)
 
-    def sealed(self, segments: Sequence[Segment]) -> SealedStack:
-        key = ("sealed", self._key(segments))
+    def sealed(
+        self, segments: Sequence[Segment], lean: bool = False
+    ) -> SealedStack:
+        key = ("sealed-lean" if lean else "sealed", self._key(segments))
         with self._lock:
             st = self._sealed.get(key)
         if st is not None:
             return st
-        st = SealedStack(segments)
+        st = SealedStack(segments, lean=lean)
         with self._lock:
             if len(self._sealed) >= self._max:
                 self._sealed.clear()  # stacks rebuild cheaply from device arrays

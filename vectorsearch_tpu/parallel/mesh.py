@@ -158,7 +158,11 @@ def sharded_flat_query(
         else:
             lut = pq_ops.build_lut(q, codebook)
             neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
-        neg, idx = jax.lax.approx_max_k(neg_scores, local_ef, recall_target=0.95)
+        # exact mode's pool is its only recall loss (core/index.py
+        # _sealed_exact_pool) — pay for the stricter reduction there
+        neg, idx = jax.lax.approx_max_k(
+            neg_scores, local_ef, recall_target=0.999 if exact else 0.95
+        )
         ok = neg > -jnp.inf
         if flat_strict and not exact:  # ef has no exact-mode counterpart
             ok = ok & (
