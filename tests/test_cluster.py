@@ -210,3 +210,61 @@ srv.serve_forever()
         for p in procs:
             p.terminate()
             p.wait(timeout=30)
+
+
+def test_cluster_mutation_forwarding(tmp_path, rng):
+    """Router forwards add/delete to the writes=True server; read shards see
+    the mutations after refresh (WAL delta sync through shared storage)."""
+    root = str(tmp_path / "mut")
+    x = clustered(rng, 200)
+    widx, gids = build_disk_index(root, x, local_worker_threads=1)
+
+    shards = []
+    for sh in range(2):
+        sidx = VectorIndex.create_or_open(VectorIndexConfig(
+            storage=DiskStorage(root), name="cl", dimension=x.shape[1],
+            pq_m=4, pq_k=16, max_segment_size=100, graph_degree=16,
+            graph_build_breadth=64, local_worker_threads=0,
+            local_maintenance_worker_threads=0, segment_shard=(sh, 2),
+        ))
+        shards.append((sidx, ClusterQueryServer(sidx, port=0).start()))
+    wsrv = ClusterQueryServer(widx, port=0, writes=True).start()
+    client = ClusterClient([srv.address for _, srv in shards]
+                           + [wsrv.address])
+    try:
+        pings = client.ping()
+        assert [p["writes"] for p in pings] == [False, False, True]
+
+        # forwarded add, visible on shards after refresh
+        y = clustered(rng, 30)
+        new_gids = client.add_all(y, [f"np{i}".encode() for i in range(30)])
+        assert len(new_gids) == 30
+        client.await_indexing_complete(timeout=60)
+        client.refresh()
+        g, s, d = client.query_batch_arrays(y[:8], 1)
+        assert [int(v) for v in g[:, 0]] == new_gids[:8]
+
+        # resolve through the writer
+        pairs = client.resolve_ids(new_gids[:3])
+        assert all(p != (-1, -1) for p in pairs)
+
+        # forwarded delete, visible after refresh
+        client.delete_all(new_gids[:5])
+        client.delete(new_gids[5])
+        client.refresh()
+        assert client.resolve_ids(new_gids[:6]) == [(-1, -1)] * 6
+        g2, _, _ = client.query_batch_arrays(y[:6], 1)
+        assert all(int(v) not in set(new_gids[:6]) for v in g2[:, 0])
+
+        # a read shard refuses writes with a clear error
+        ro = ClusterClient([shards[0][1].address])
+        with pytest.raises(RuntimeError, match="writes"):
+            ro.add_all(y[:1])
+        ro.close()
+    finally:
+        client.shutdown_servers()
+        wsrv.close()
+        widx.close()
+        for sidx, srv in shards:
+            srv.close()
+            sidx.close()

@@ -162,10 +162,13 @@ def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
     flat ef contract in config.flat_ef_semantics)."""
     scores = distance_ops.pairwise_rank_scores(q, vectors, valid, metric)
     # The pool's approx top-k is exact mode's ONLY recall loss (the scan is a
-    # true ranking), so spend the stricter reduction here: 0.95 let a true
-    # rank-2 neighbor fall out of the pool ~1/1000 queries (caught by the
-    # package-boundary verify); the scan still dominates the program.
-    neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.999)
+    # true ranking). recall_target=0.99 at a 2k-wide pool is the measured
+    # sweet spot on v5e: 0.9994 recall@10 at ~5.5 ms/512-batch over 1M rows,
+    # while 0.999 explodes the reduction (64-wide: 100 ms, 18x) and 0.95
+    # loses a true neighbor ~1/100 queries. Callers pass `valid=alive` (not
+    # exists): excluding tombstones from an EXACT ranking is equivalent to
+    # dropping them at re-rank, and it removes the need for pool slack.
+    neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.99)
     return jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
 
 
@@ -241,7 +244,7 @@ def _sealed_query_step(
     """
     if exact:
         cand_idx = _sealed_exact_pool(
-            q, vectors, exists, ef_buf=ef_buf, metric=metric
+            q, vectors, alive, ef_buf=ef_buf, metric=metric
         )
     elif flat:
         # Pool = the full static buffer by default (ef bucketed up to
@@ -445,9 +448,11 @@ def _unified_sealed_query(
     if exact:
         # direct raw-vector ranking over the whole group (no PQ/ADC);
         # -scores is a valid "approx" distance stand-in for the traversal-
-        # free pool below (only finiteness + order are consumed)
+        # free pool below (only finiteness + order are consumed). Masked by
+        # `alive`, not `exists`: an exact ranking without tombstones equals
+        # dropping them at re-rank, so the pool needs no dead-row slack.
         approx = -distance_ops.pairwise_rank_scores(
-            q, vectors_s.reshape(s_count * n, d), exists_s.reshape(-1), metric
+            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1), metric
         )
     else:
         approx_cols = []
@@ -460,10 +465,11 @@ def _unified_sealed_query(
 
     if flat or exact:
         # full-buffer pool by default; see _sealed_flat_pool for the ef
-        # contract (flat_strict masks to the shared dynamic ef). Exact mode
-        # pays for the stricter reduction: the pool is its only recall loss.
+        # contract (flat_strict masks to the shared dynamic ef). Exact mode's
+        # pool is its only recall loss: 0.99 at a 2k-wide pool is the v5e
+        # sweet spot (see _sealed_exact_pool).
         neg, idx = jax.lax.approx_max_k(
-            -approx, ef_buf, recall_target=0.999 if exact else 0.95
+            -approx, ef_buf, recall_target=0.99 if exact else 0.95
         )
         ok = jnp.isfinite(neg)
         if flat_strict and not exact:  # ef has no exact-mode counterpart
@@ -669,8 +675,12 @@ class VectorIndex:
         self.store.checkpoint_all()
 
     def refresh(self) -> list[int]:
-        """Reloads segments whose builds completed in ANOTHER process
-        (shared-storage global workers); returns refreshed segment ids."""
+        """Synchronizes with mutations made in ANOTHER process over shared
+        storage: completed builds, new segments (the writer's rotations),
+        WAL-appended adds/deletes, and — for passive readers — vacuum/
+        compaction registry swaps. Returns changed segment ids. The polling
+        analogue of the reference's FDB visibility (any process reads any
+        range); see VectorStore.refresh for the exact pickup rules."""
         return self.store.refresh()
 
     # ---------------------------------------------------------------- ingest
@@ -832,7 +842,7 @@ class VectorIndex:
         if (
             timeout is None
             and self._build_pool is None
-            and self.config.global_task_queues is None
+            and self.config.global_task_queue_config is None
             and self.build_queue.has_visible_unclaimed_tasks()
         ):
             logger.warning(
@@ -1023,12 +1033,12 @@ class VectorIndex:
             # Group-level static buckets (one compile per group shape).
             tuned = [self._auto_tune(seg, k, params) for seg in group]
             if gexact:
-                # The exact pool only needs to cover the re-rank width: the
-                # scan is already a near-exact ranking of ALL rows, so the
-                # recall-driven efSearch sizing of the lossy ADC scan does
-                # not apply. 2x slack absorbs approx_max_k bucket collisions
-                # and tombstoned rows (dropped at re-rank).
-                ef_buf = min(_bucket(max(2 * per_seg_limit, k, 32)), cap)
+                # The exact pool only needs to cover k plus approx_max_k
+                # bucket-collision slack — NOT the recall-driven efSearch of
+                # a lossy scan, and no tombstone slack either (the scan masks
+                # by `alive`). 2k@rt0.99 is the measured v5e sweet spot; each
+                # extra pool doubling costs ~8% QPS and a 0.999 target 10x.
+                ef_buf = min(_bucket(max(2 * k, 16)), cap)
             else:
                 ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
             beam_buf = min(_bucket(max(t[1] for t in tuned), lo=8), ef_buf)
@@ -1084,11 +1094,12 @@ class VectorIndex:
                 total_codes = sum(seg.exists_count() for seg in group)
                 u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
                 if gexact:
-                    # pool covers the GLOBAL re-rank width (see the exact
-                    # ef_buf sizing above); results match per-segment merge
+                    # same 2k-wide pool as the per-segment exact sizing
+                    # above; the global top-pool merged once equals the
+                    # merged per-segment pools (exact ranking is true
+                    # ranking), so no per-segment oversampling is needed
                     u_ef_buf = min(
-                        _bucket(max(2 * per_seg_limit, k, 32)),
-                        len(group) * cap,
+                        _bucket(max(2 * k, 16)), len(group) * cap
                     )
                 else:
                     u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
@@ -1339,7 +1350,7 @@ class VectorIndex:
             # exact mode's scan phase is the raw matmul; recorded under the
             # reference's pq_scan instrument (it IS the scan phase)
             cand_idx = _sealed_exact_pool(
-                qd, seg.vectors_dev, seg.exists_dev,
+                qd, seg.vectors_dev, seg.alive_dev,
                 ef_buf=ef_buf, metric=self.config.metric,
             )
             jax.block_until_ready(cand_idx)
@@ -1424,9 +1435,9 @@ class VectorIndex:
             self._warn_graphless_once()
             tuned_ef, _tb = self._auto_tune(seg, k, params)
             if self.config.sealed_search_mode == "exact" or _pqless(seg):
-                ef_buf = min(_bucket(max(2 * limit, k, 32)), seg.cap_pad)
+                ef_buf = min(_bucket(max(2 * k, 16)), seg.cap_pad)
                 cand_idx = _sealed_exact_pool(
-                    qd, seg.vectors_dev, seg.exists_dev,
+                    qd, seg.vectors_dev, seg.alive_dev,
                     ef_buf=ef_buf, metric=self.config.metric,
                 )
             else:

@@ -62,6 +62,14 @@ class VectorStore:
 
         self.owner_id = uuid.uuid4().hex
         self._lease_written_ms = 0
+        # Per-segment count of WAL records already applied to local arrays —
+        # our own appends count too, so refresh()'s delta sync is a natural
+        # no-op for mutations this process made itself. The txid of the last
+        # applied record guards against count collisions after a foreign
+        # checkpoint reset the log (old 2 records vs new 2 records).
+        self._wal_applied: Dict[int, int] = {}
+        self._wal_last_txid: Dict[int, Optional[str]] = {}
+        self._wal_seq = 0
 
     # ---------------------------------------------------------- writer lease
 
@@ -186,7 +194,12 @@ class VectorStore:
                 if seg is None:
                     self.storage.wal_reset(self.name, sid)  # unknown: debris
                     continue
-                seg.replay_wal(self.storage.wal_read(self.name, sid))
+                records = self.storage.wal_read(self.name, sid)
+                seg.replay_wal(records)
+                self._wal_applied[sid] = len(records)
+                self._wal_last_txid[sid] = (
+                    records[-1].get("txid") if records else None
+                )
             # Rebuild derived state from segment truth: the gid map, counts,
             # and the gid counter (reconciles meta.count with arrays — counts
             # in persisted metas may predate WAL-only mutations).
@@ -229,6 +242,16 @@ class VectorStore:
         }
         self.storage.write_state(self.name, state)
 
+    def _wal_append_locked(self, seg_id: int, record: dict) -> None:
+        """Appends a WAL record stamped with a process-unique txid (so other
+        processes' refresh() can detect log resets) and counts it as applied
+        locally."""
+        record["txid"] = f"{self.owner_id}:{self._wal_seq}"
+        self._wal_seq += 1
+        self.storage.wal_append(self.name, seg_id, record)
+        self._wal_applied[seg_id] = self._wal_applied.get(seg_id, 0) + 1
+        self._wal_last_txid[seg_id] = record["txid"]
+
     def checkpoint_segment(self, seg_id: int) -> None:
         """Full-array segment checkpoint; subsumes and resets the segment's
         WAL. Checkpoint-then-reset ordering keeps a crash between the two
@@ -242,6 +265,8 @@ class VectorStore:
                 self.name, seg_id, seg.to_arrays(), seg.payloads_for_checkpoint()
             )
             self.storage.wal_reset(self.name, seg_id)
+            self._wal_applied[seg_id] = 0
+            self._wal_last_txid[seg_id] = None
 
     def checkpoint_all(self) -> None:
         with self.lock:
@@ -251,43 +276,218 @@ class VectorStore:
 
     # --------------------------------------------------------------- refresh
 
-    def refresh(self) -> list[int]:
-        """Picks up builds completed by ANOTHER process (e.g. a
-        GlobalWorkerRunner over shared storage + SharedTaskQueue): any local
-        PENDING/WRITING segment that persisted state shows SEALED is reloaded
-        with its artifacts. Returns the refreshed segment ids.
+    def _load_segment_locked(self, sid: int, meta: SegmentMeta) -> Segment:
+        """(Re)loads a segment from its persisted checkpoint (or creates it
+        empty when no checkpoint exists yet) and registers it locally. The
+        caller is responsible for WAL replay via the delta pass."""
+        rec = self.storage.read_segment(self.name, sid)
+        if rec is None:
+            seg = self._new_segment(sid, meta.state)
+            seg.meta = meta
+        else:
+            seg = Segment.from_arrays(
+                meta, self.config.max_segment_size, self.config.dimension,
+                rec, device=self._segment_device(sid), mesh=self.config.mesh,
+                payload_arena=self.config.payload_storage == "arena",
+            )
+        self.segments[sid] = seg
+        return seg
 
-        Scope: build pickup only. Row data and gids are unchanged by a build,
-        so the local gid map stays valid. Cross-process vacuum/compaction
-        would rewrite gid mappings and needs a coordinator (ROADMAP)."""
+    def _index_segment_gids_locked(self, seg: Segment) -> None:
+        """(Re)inserts a segment's live gids into the gid map and advances
+        the gid counter past them (idempotent)."""
+        vids = np.flatnonzero(seg.gids_np[: seg.next_row] >= 0)
+        if len(vids):
+            gids = seg.gids_np[vids]
+            self.gid_map.put_batch(
+                gids, (np.int64(seg.seg_id) << 32) | vids.astype(np.int64)
+            )
+            self.next_gid = max(self.next_gid, int(gids.max()) + 1)
+
+    def _drop_segment_gids_locked(self, seg: Segment) -> None:
+        for gid in seg.gids_np[: seg.next_row][
+            seg.gids_np[: seg.next_row] >= 0
+        ].tolist():
+            self.gid_map.remove(int(gid))
+
+    def _apply_wal_delta_locked(self, seg: Segment, recs: list[dict]) -> None:
+        """Applies WAL records appended by ANOTHER process onto local arrays
+        + the gid map. Idempotent: re-applied adds rewrite the same rows and
+        re-applied dels no-op on already-dead rows — so replaying a full WAL
+        over a freshly reloaded checkpoint is always safe."""
+        added = False
+        for rec in recs:
+            if rec["op"] == "add":
+                start = int(rec["start"])
+                rows = np.asarray(rec["vectors"], np.float32)
+                n = rows.shape[0]
+                seg.vectors_np[start : start + n] = rows
+                seg.exists_np[start : start + n] = True
+                seg.alive_np[start : start + n] = True
+                gids = np.asarray(rec["gids"], np.int64)
+                seg.gids_np[start : start + n] = gids
+                payloads = rec.get("payloads")
+                if payloads:
+                    for i, p in enumerate(payloads):
+                        seg.payloads[start + i] = p
+                seg.next_row = max(seg.next_row, start + n)
+                vids = np.arange(start, start + n, dtype=np.int64)
+                live = gids >= 0
+                if live.any():
+                    self.gid_map.put_batch(
+                        gids[live], (np.int64(seg.seg_id) << 32) | vids[live]
+                    )
+                    self.next_gid = max(self.next_gid, int(gids[live].max()) + 1)
+                added = True
+            elif rec["op"] == "del":
+                for vid in np.asarray(rec["vids"], np.int64).tolist():
+                    gid = int(seg.gids_np[vid])
+                    if seg.tombstone(int(vid)) and gid >= 0:
+                        self.gid_map.remove(gid)
+        if added:
+            seg.version += 1  # tombstone() bumps per flip; adds bump here
+        seg.reconcile_counts()
+
+    def refresh(self) -> list[int]:
+        """Synchronizes this process with mutations made by ANOTHER process
+        over shared storage — the polling analogue of the reference's FDB
+        reads, where any process sees any range (fdb/FdbVectorStore.java).
+        Returns the ids of segments whose local view changed. Picks up:
+
+        - builds completed elsewhere (PENDING/WRITING shown SEALED → reload
+          artifacts; reference: build pickup via GlobalWorkerRunner);
+        - segments created elsewhere (the writer's rotations) including the
+          writer's live ACTIVE segment, loaded checkpoint+WAL;
+        - adds/deletes appended to any segment's WAL since our last sync
+          (per-mutation durability doubles as a replication log; local
+          mutations are counted in _wal_applied, so self-sync is a no-op);
+        - foreign checkpoints (WAL shorter than applied → reload + replay);
+        - IF this process has never written (no writer lease taken): registry
+          removals from a foreign vacuum/compaction swap — dropped segments'
+          gids are purged and the compaction dest adopted, re-syncing the gid
+          map from persisted state. Writer processes never adopt removals
+          (their own registry is authoritative, and cross-writer compaction
+          is excluded by the writer lease, core/maintenance.py)."""
         state = self.storage.read_state(self.name)
         if state is None:
             return []
-        changed: list[int] = []
+        changed: set[int] = set()
+        # A "passive" process never wrote (took no writer lease), so the
+        # persisted registry is authoritative over its local copy. With
+        # leases disabled we cannot distinguish writers — never adopt
+        # removals then (ACTIVE adoption below has its own emptiness guard).
+        passive = (
+            self._lease_written_ms == 0
+            and self.config.effective.writer_lease_ttl_ms > 0
+        )
         with self.lock:
-            for sid_str, meta_json in state.get("segment_metas", {}).items():
-                sid = int(sid_str)
-                if sid == self.current_segment:
-                    continue  # we own the ACTIVE segment's unpersisted rows
+            metas = {
+                int(s): SegmentMeta.from_json(m)
+                for s, m in state.get("segment_metas", {}).items()
+            }
+            self.max_segment_id = max(
+                self.max_segment_id, state.get("max_segment_id", 0)
+            )
+            self.next_gid = max(self.next_gid, state.get("next_gid", 0))
+
+            # --- passive readers adopt registry removals FIRST (vacuum
+            # clears / compaction swaps): a compaction moves gids from the
+            # dropped sources into its dest, so the sources' stale map
+            # entries must go before the dest's gids are indexed below
+            persisted_registry = [int(s) for s in state.get("registry", [])]
+            if passive:
+                persisted_set = set(persisted_registry)
+                for sid in [s for s in self.registry if s not in persisted_set]:
+                    seg = self.segments.pop(sid, None)
+                    self.registry.remove(sid)
+                    if seg is not None:
+                        self._drop_segment_gids_locked(seg)
+                        changed.add(sid)
+                    self._wal_applied.pop(sid, None)
+                    self._wal_last_txid.pop(sid, None)
+
+            # --- segments created by another process (rotation / compaction)
+            for sid in persisted_registry:
+                meta = metas.get(sid)
+                if sid in self.segments or meta is None:
+                    continue
+                if meta.state == SegmentState.WRITING:
+                    continue  # foreign compaction dest mid-copy: not visible
+                seg = self._load_segment_locked(sid, meta)
+                if sid not in self.registry:
+                    self.registry.append(sid)
+                self._index_segment_gids_locked(seg)
+                self._wal_applied[sid] = 0  # delta pass replays its WAL
+                changed.add(sid)
+
+            # --- passive readers adopt the writer's ACTIVE segment
+            if passive:
+                # we never wrote, so any rows in our local ACTIVE copy came
+                # from the writer's WAL — adopting its rotation loses nothing
+                cur = int(state.get("current_segment", self.current_segment))
+                if cur != self.current_segment and cur in self.segments:
+                    self.current_segment = cur
+
+            # --- builds completed by another process (state flip + artifacts)
+            for sid, meta in metas.items():
                 local = self.segments.get(sid)
-                if local is None or local.state not in (
-                    SegmentState.PENDING, SegmentState.WRITING
+                if local is None or sid == self.current_segment:
+                    continue  # we own the ACTIVE segment's unpersisted rows
+                if (
+                    meta.state == SegmentState.SEALED
+                    and local.state != SegmentState.SEALED
                 ):
-                    continue
-                meta = SegmentMeta.from_json(meta_json)
-                if meta.state != SegmentState.SEALED:
-                    continue
-                rec = self.storage.read_segment(self.name, sid)
-                if rec is None or "codes" not in rec["arrays"]:
-                    continue
-                self.segments[sid] = Segment.from_arrays(
-                    meta, self.config.max_segment_size, self.config.dimension,
-                    rec, device=self._segment_device(sid), mesh=self.config.mesh,
-                    payload_arena=self.config.payload_storage == "arena",
+                    rec = self.storage.read_segment(self.name, sid)
+                    if rec is None or "codes" not in rec["arrays"]:
+                        continue
+                    self.segments[sid] = Segment.from_arrays(
+                        meta, self.config.max_segment_size,
+                        self.config.dimension, rec,
+                        device=self._segment_device(sid), mesh=self.config.mesh,
+                        payload_arena=self.config.payload_storage == "arena",
+                    )
+                    self._wal_applied[sid] = 0  # replay post-seal dels below
+                    self._wal_last_txid[sid] = None
+                    changed.add(sid)
+                    LOG.debug("refreshed segment %d from storage (SEALED)", sid)
+                elif passive and meta.state != local.state:
+                    # pure lifecycle flips made by the writer (ACTIVE→PENDING
+                    # at rotation, SEALED→COMPACTING at candidate marking):
+                    # row data is unchanged, adopt the state in place
+                    local.meta.state = meta.state
+                    changed.add(sid)
+
+            # --- WAL delta sync: mutations appended since our last look
+            for sid in self.storage.wal_segments(self.name):
+                seg = self.segments.get(sid)
+                if seg is None:
+                    continue  # not in our registry view; leave the WAL alone
+                recs = self.storage.wal_read(self.name, sid)
+                applied = self._wal_applied.get(sid, 0)
+                stale = len(recs) < applied or (
+                    0 < applied <= len(recs)
+                    and recs[applied - 1].get("txid")
+                    != self._wal_last_txid.get(sid)
                 )
-                changed.append(sid)
-                LOG.debug("refreshed segment %d from storage (SEALED)", sid)
-        return changed
+                if stale:
+                    # a foreign checkpoint subsumed + reset the WAL (shorter
+                    # log, or same length with different record identities):
+                    # reload the checkpoint, then replay the new WAL entirely.
+                    # Purge the old view's gids first — the checkpoint may
+                    # have absorbed deletes our stale map still resolves.
+                    self._drop_segment_gids_locked(seg)
+                    seg = self._load_segment_locked(sid, metas.get(sid, seg.meta))
+                    self._index_segment_gids_locked(seg)
+                    applied = 0
+                    changed.add(sid)
+                if len(recs) > applied:
+                    self._apply_wal_delta_locked(seg, recs[applied:])
+                    changed.add(sid)
+                self._wal_applied[sid] = len(recs)
+                self._wal_last_txid[sid] = (
+                    recs[-1].get("txid") if recs else None
+                )
+        return sorted(changed)
 
     # ---------------------------------------------------------------- ingest
 
@@ -335,8 +535,8 @@ class VectorStore:
                 seg.gids_np[vid_arr] = new_gids
                 # per-mutation durability (reference: each add is an FDB txn,
                 # fdb/FdbVectorStore.java:425-492)
-                self.storage.wal_append(
-                    self.name, seg.seg_id,
+                self._wal_append_locked(
+                    seg.seg_id,
                     {
                         "op": "add",
                         "start": int(vec_ids[0]),
@@ -410,8 +610,8 @@ class VectorStore:
                 if flipped:
                     # per-mutation durability (reference: deleteBatch is an
                     # FDB txn, fdb/FdbVectorStore.java:276-423)
-                    self.storage.wal_append(
-                        self.name, seg_id,
+                    self._wal_append_locked(
+                        seg_id,
                         {"op": "del", "vids": np.asarray(flipped, np.int64)},
                     )
                 affected.append(seg_id)

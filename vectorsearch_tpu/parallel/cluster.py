@@ -17,9 +17,16 @@ above it. Wire format is length-prefixed JSON headers + raw little-endian
 array buffers — no pickle, so a malicious peer cannot execute code, but the
 protocol is still meant for a trusted cluster network (no auth/TLS).
 
-Consistency: servers see SEALED segments as of their last ``refresh()``
-(storage snapshots, same as the reference's cross-process visibility of
-completed builds); the writing host serves its own ACTIVE segment live.
+Consistency: servers see the corpus as of their last ``refresh()`` (storage
+snapshots, same as the reference's cross-process visibility); the writing
+host serves its own ACTIVE segment live.
+
+Mutations: the router forwards add/delete/resolve to the single server
+started with ``writes=True`` (the process holding the writer lease —
+core/store.py's single-writer model). Read shards pick the mutations up
+through refresh(): the per-mutation WAL doubles as a replication log
+(VectorStore.refresh), so a forwarded delete becomes visible on every shard
+at its next refresh without re-reading checkpoints.
 """
 
 from __future__ import annotations
@@ -76,6 +83,26 @@ def _arr(buf: bytes, dtype: str, shape) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(shape)
 
 
+def _encode_payloads(payloads) -> tuple[bytes, bytes]:
+    """(lens int64 LE, concatenated blob); None -> length -1."""
+    lens = np.asarray(
+        [-1 if p is None else len(p) for p in payloads], np.int64
+    )
+    blob = b"".join(p for p in payloads if p is not None)
+    return lens.tobytes(), blob
+
+
+def _decode_payloads(lens_buf: bytes, blob: bytes) -> list:
+    out, off = [], 0
+    for ln in np.frombuffer(lens_buf, np.int64).tolist():
+        if ln < 0:
+            out.append(None)
+        else:
+            out.append(blob[off : off + ln])
+            off += ln
+    return out
+
+
 # ------------------------------------------------------------------- server
 
 class ClusterQueryServer:
@@ -88,9 +115,15 @@ class ClusterQueryServer:
     """
 
     def __init__(self, index, host: str = "127.0.0.1", port: int = 0,
-                 refresh_every: int = 64):
+                 refresh_every: int = 64, writes: bool = False):
         self.index = index
         self.refresh_every = refresh_every
+        # ``writes=True`` marks this server as the cluster's writer: the
+        # router forwards add/delete/resolve to it (single-writer model —
+        # the same process that holds the writer lease; read shards pick the
+        # mutations up through their periodic refresh()). The writer should
+        # be opened WITHOUT segment_shard so every delete finds its segment.
+        self.writes = writes
         self._srv = socket.create_server((host, port))
         self.address = self._srv.getsockname()[:2]
         self._stop = threading.Event()
@@ -152,7 +185,42 @@ class ClusterQueryServer:
     def _handle(self, conn, header: dict, buffers: list[bytes]) -> None:
         op = header.get("op")
         if op == "ping":
-            _send_msg(conn, {"ok": True, "shard": self.index.config.segment_shard})
+            _send_msg(conn, {
+                "ok": True, "shard": self.index.config.segment_shard,
+                "writes": self.writes,
+            })
+            return
+        if op in ("add", "delete"):
+            if not self.writes:
+                _send_msg(conn, {
+                    "ok": False,
+                    "error": "this server is a read shard (writes=False); "
+                             "route mutations to the writer",
+                })
+                return
+            if op == "add":
+                vecs = _arr(buffers[0], "float32", header["shape"])
+                payloads = None
+                if len(buffers) >= 3:
+                    payloads = _decode_payloads(buffers[1], buffers[2])
+                gids = self.index.add_all(vecs, payloads)
+                _send_msg(conn, {"ok": True, "n": len(gids)},
+                          [np.asarray(gids, np.int64).tobytes()])
+            else:
+                gids = np.frombuffer(buffers[0], np.int64).tolist()
+                self.index.delete_all(gids)
+                _send_msg(conn, {"ok": True, "n": len(gids)})
+            return
+        if op == "resolve":
+            gids = np.frombuffer(buffers[0], np.int64).tolist()
+            pairs = self.index.resolve_ids(gids)
+            _send_msg(conn, {"ok": True, "n": len(pairs)},
+                      [np.asarray(pairs, np.int64).tobytes()])
+            return
+        if op == "await_indexing":
+            # queue wait only — no device work, so don't hold the query lock
+            done = self.index.await_indexing_complete(header.get("timeout"))
+            _send_msg(conn, {"ok": True, "done": bool(done)})
             return
         if op == "refresh":
             changed = self.index.refresh()
@@ -192,13 +260,11 @@ class ClusterQueryServer:
         ]
         if header.get("want_payloads"):
             flat = gids.reshape(-1)
-            payloads = self.index.resolve_payloads(flat.tolist())
-            lens = np.asarray(
-                [-1 if p is None else len(p) for p in payloads], np.int64
+            lens, blob = _encode_payloads(
+                self.index.resolve_payloads(flat.tolist())
             )
-            blob = b"".join(p for p in payloads if p is not None)
             out["payloads"] = True
-            bufs += [lens.tobytes(), blob]
+            bufs += [lens, blob]
         _send_msg(conn, out, bufs)
 
 
@@ -232,6 +298,7 @@ class ClusterClient:
         self._hosts = [
             _Host(tuple(e), lock=threading.Lock()) for e in endpoints
         ]
+        self._writer: Optional[_Host] = None  # discovered on first mutation
 
     def close(self) -> None:
         for h in self._hosts:
@@ -277,6 +344,62 @@ class ClusterClient:
             raise RuntimeError(f"cluster host {host.addr}: {resp.get('error')}")
         return resp, bufs
 
+    # -- mutations: forwarded to the cluster's single writer ---------------
+
+    def _writer_host(self) -> _Host:
+        """Finds (and caches) the endpoint whose server accepts writes."""
+        if self._writer is None:
+            for h in self._hosts:
+                resp, _ = self._rpc(h, {"op": "ping"})
+                if resp.get("writes"):
+                    self._writer = h
+                    break
+            else:
+                raise RuntimeError(
+                    "no cluster endpoint accepts writes (start one "
+                    "ClusterQueryServer with writes=True)"
+                )
+        return self._writer
+
+    def add_all(self, embeddings, payloads: Optional[Sequence] = None) -> list:
+        """Forwards a batch insert to the writer; returns assigned gids.
+        Read shards see the rows after their next refresh (server-side
+        refresh_every, or an explicit client.refresh())."""
+        vecs = np.ascontiguousarray(np.asarray(embeddings, np.float32))
+        header = {"op": "add", "shape": list(vecs.shape)}
+        bufs = [vecs.tobytes()]
+        if payloads is not None:
+            lens, blob = _encode_payloads(list(payloads))
+            bufs += [lens, blob]
+        resp, rbufs = self._rpc(self._writer_host(), header, bufs)
+        return np.frombuffer(rbufs[0], np.int64).tolist()
+
+    def add(self, embedding, payload: Optional[bytes] = None) -> int:
+        return self.add_all(np.asarray(embedding, np.float32)[None, :],
+                            [payload])[0]
+
+    def delete_all(self, gids) -> None:
+        buf = np.ascontiguousarray(np.asarray(list(gids), np.int64)).tobytes()
+        self._rpc(self._writer_host(), {"op": "delete"}, [buf])
+
+    def delete(self, gid: int) -> None:
+        self.delete_all([int(gid)])
+
+    def resolve_ids(self, gids) -> list:
+        """Resolves gids on the writer (its gid map spans every segment)."""
+        buf = np.ascontiguousarray(np.asarray(list(gids), np.int64)).tobytes()
+        resp, rbufs = self._rpc(self._writer_host(), {"op": "resolve"}, [buf])
+        pairs = np.frombuffer(rbufs[0], np.int64).reshape(resp["n"], 2)
+        return [tuple(int(v) for v in row) for row in pairs]
+
+    def await_indexing_complete(self, timeout: Optional[float] = None) -> bool:
+        resp, _ = self._rpc(
+            self._writer_host(), {"op": "await_indexing", "timeout": timeout}
+        )
+        return bool(resp.get("done"))
+
+    # -- queries ------------------------------------------------------------
+
     def query_batch_arrays(
         self, qs, k: int, params=None, want_payloads: bool = False
     ):
@@ -310,15 +433,7 @@ class ClusterClient:
             all_scores.append(_arr(bufs[1], "float32", shape))
             all_dists.append(_arr(bufs[2], "float32", shape))
             if want_payloads:
-                lens = _arr(bufs[3], "int64", (shape[0] * shape[1],))
-                blob = bufs[4]
-                plist, off = [], 0
-                for ln in lens.tolist():
-                    if ln < 0:
-                        plist.append(None)
-                    else:
-                        plist.append(blob[off : off + ln])
-                        off += ln
+                plist = _decode_payloads(bufs[3], bufs[4])
                 all_payloads.append(
                     [plist[i * shape[1] : (i + 1) * shape[1]] for i in range(shape[0])]
                 )
