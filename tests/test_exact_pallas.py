@@ -1,0 +1,96 @@
+"""Fused exact-pool kernel (ops/pallas/exact.py) vs the XLA reference pool,
+run in Pallas interpret mode on the CPU backend. The kernel is a drop-in for
+pairwise_rank_scores + approx_max_k in sealed_search_mode="exact"
+(fdb/FdbVectorIndex.java:730-837's scan stage)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorsearch_tpu.ops.pallas import exact as pe
+
+
+def _pool(q, x, valid, ef, metric, tile=512):
+    return np.asarray(
+        pe.exact_pool_topk_pallas(
+            jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+            ef_buf=ef, metric=metric, tile_n=tile, interpret=True,
+        )
+    )
+
+
+def _true_topk(q, x, valid, k, metric):
+    if metric == "COSINE":
+        xn = np.linalg.norm(x, axis=1)
+        s = (q @ x.T) / np.where(xn == 0, 1.0, xn)[None, :]
+        s = np.where(xn[None, :] == 0, 0.0, s)
+    else:
+        s = 2.0 * (q @ x.T) - (x * x).sum(1)[None, :]
+    s = np.where(valid[None, :], s, -np.inf)
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+@pytest.mark.parametrize("metric", ["L2", "COSINE"])
+def test_pool_contains_true_topk(rng, metric):
+    # margin-separated clustered data so ties can't flake the comparison
+    n, d, qn, k = 2048, 32, 16, 8
+    centers = rng.normal(size=(8, d)) * 10
+    x = (centers[rng.integers(0, 8, n)] + rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    q = (centers[rng.integers(0, 8, qn)] + rng.normal(size=(qn, d))).astype(
+        np.float32
+    )
+    valid = np.ones(n, bool)
+    # pool of 64 bins over 4 tiles of 512; true top-8 rarely collides, and
+    # the bf16 score rounding only reorders near-ties the rerank fixes
+    idx = _pool(q, x, valid, 64, metric)
+    truth = _true_topk(q, x, valid, k, metric)
+    hits = np.mean(
+        [len(set(idx[i]) & set(truth[i])) / k for i in range(qn)]
+    )
+    assert hits >= 0.9, hits
+
+
+def test_invalid_rows_never_returned(rng):
+    n, d = 1024, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = x[:4] + 0.01 * rng.normal(size=(4, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[:4] = False  # kill the exact matches
+    idx = _pool(q, x, valid, 32, "L2")
+    returned = set(idx.ravel().tolist()) - {-1}
+    assert not (returned & {0, 1, 2, 3})
+    assert all(0 <= v < n for v in returned)
+
+
+def test_tail_tile_and_all_dead_bins(rng):
+    # n NOT a multiple of the tile: the garbage tail must never be returned
+    n, d = 700, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[:5] = True  # only 5 alive rows; most bins are fully dead
+    idx = _pool(q, x, valid, 16, "L2")
+    returned = set(idx.ravel().tolist()) - {-1}
+    assert returned <= {0, 1, 2, 3, 4}
+    # dead bins -> -1 padding
+    assert (idx == -1).any()
+
+
+def test_zero_norm_cosine_rows_score_zero(rng):
+    n, d = 512, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x[7] = 0.0  # zero-norm row: reference convention scores it 0.0
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    idx = _pool(q, x, np.ones(n, bool), 8, "COSINE")
+    # with plenty of positive-scoring rows, the zero row never makes top-8
+    assert 7 not in set(idx.ravel().tolist())
+
+
+def test_use_fused_gating():
+    assert not pe.use_fused_exact_pool(1000, 128, 32)  # too few rows
+    # CPU backend in tests -> always off regardless of size
+    assert not pe.use_fused_exact_pool(1_000_000, 128, 32)

@@ -53,6 +53,7 @@ from vectorsearch_tpu.core.tasks import (
 )
 from vectorsearch_tpu.ops import distance as distance_ops
 from vectorsearch_tpu.ops import pq as pq_ops
+from vectorsearch_tpu.ops.pallas import exact as pallas_exact
 from vectorsearch_tpu.ops import topk as topk_ops
 from vectorsearch_tpu.ops import traversal as traversal_ops
 from vectorsearch_tpu.params import Mode, SearchParams, SeedStrategy
@@ -160,6 +161,14 @@ def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
     ef_buf from per_seg_limit and the [Q, ef] re-rank gather stays tiny.
     efSearch/beam have no exploration counterpart here (documented with the
     flat ef contract in config.flat_ef_semantics)."""
+    if pallas_exact.use_fused_exact_pool(
+        vectors.shape[0], vectors.shape[1], ef_buf
+    ):
+        # fused scan + in-VMEM binned pool: never materializes the [Q, N]
+        # score matrix in HBM (ops/pallas/exact.py)
+        return pallas_exact.exact_pool_topk_pallas(
+            q, vectors, valid, ef_buf=ef_buf, metric=metric
+        )
     scores = distance_ops.pairwise_rank_scores(q, vectors, valid, metric)
     # The pool's approx top-k is exact mode's ONLY recall loss (the scan is a
     # true ranking). recall_target=0.99 at a 2k-wide pool is the measured
@@ -445,6 +454,22 @@ def _unified_sealed_query(
     (no traversal; see _sealed_query_step for the dominance argument)."""
     s_count, n, d = vectors_s.shape
     qn = q.shape[0]
+    if exact and pallas_exact.use_fused_exact_pool(s_count * n, d, ef_buf):
+        # fused scan + in-VMEM binned pool over the flattened group: never
+        # materializes the [Q, S*N] score matrix (ops/pallas/exact.py).
+        # Masked by `alive` (see the XLA branch below for the argument).
+        cand_idx = pallas_exact.exact_pool_topk_pallas(
+            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
+            ef_buf=ef_buf, metric=metric,
+        )
+        scores, dists, gidx = traversal_ops.exact_rerank(
+            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
+            cand_idx, rr, metric,
+        )
+        seg_of = gidx // n
+        vid = jnp.where(gidx >= 0, gidx - seg_of * n, -1)
+        slot = jnp.where(gidx >= 0, slot_base + seg_of, -1)
+        return scores, dists, vid, slot
     if exact:
         # direct raw-vector ranking over the whole group (no PQ/ADC);
         # -scores is a valid "approx" distance stand-in for the traversal-
