@@ -120,9 +120,21 @@ def test_disk_wal_torn_tail_ignored(tmp_path):
 # ----------------------------------------- per-mutation durability (WAL)
 
 
-def crash_reopen(storage, **kw):
+def crash_reopen(storage, dead=None, **kw):
     """Reopen WITHOUT close()/checkpoint() — simulates a process crash (the
-    judge's round-1 repro: delete -> crash -> reopen resurrected rows)."""
+    judge's round-1 repro: delete -> crash -> reopen resurrected rows).
+    A real crash stops the dead process's lease heartbeats, so its writer
+    lease expires after ttl; emulate that (without sleeping out the TTL) by
+    stopping its keeper and dropping the lease record."""
+    if dead is not None:
+        store = dead.store
+        store._lease_stop.set()
+        if store._lease_keeper is not None:
+            store._lease_keeper.join(timeout=2.0)
+        with storage.queue_lock(store.name, store._LEASE_KEY):
+            leases = storage.read_queue(store.name, store._LEASE_KEY) or {}
+            if leases.pop(store.owner_id, None) is not None:
+                storage.write_queue(store.name, store._LEASE_KEY, leases)
     return make_index(storage, **kw)
 
 
@@ -134,7 +146,7 @@ def test_delete_durable_without_checkpoint(storage, rng):
     idx.checkpoint()
     idx.delete(gids[7])  # mutation AFTER the last checkpoint
 
-    idx2 = crash_reopen(storage, max_segment_size=30)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=30)
     assert gids[7] not in [r.gid for r in idx2.query(x[7], 20)]
     assert idx2.resolve_ids([gids[7]]) == [(-1, -1)]
     # counts reconciled with arrays (meta.count == alive rows)
@@ -151,13 +163,33 @@ def test_adds_durable_without_checkpoint(storage, rng):
     gids = idx.add_all(x, [f"p{i}".encode() for i in range(30)])
     # NO checkpoint, no rotation: rows live only in the WAL
 
-    idx2 = crash_reopen(storage, max_segment_size=50)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=50)
     r = idx2.query(x[12], 1)
     assert r[0].gid == gids[12]
     assert r[0].payload == b"p12"
     assert idx2.store.segments[0].meta.count == 30
     # gid counter resumes past WAL-only gids (no reuse)
     assert idx2.add(gaussian(rng, 1)[0]) == 30
+    idx2.close()
+
+
+def test_gid_counter_never_regresses_after_deleting_highest(storage, rng):
+    """Deleting the highest-gid rows then crash-reopening must NOT recycle
+    those gids: tombstones set gids_np=-1, so a live-gid-only rebuild would
+    regress next_gid and silently rebind deleted gids to new vectors
+    (the reference's nextGid counter is monotonic,
+    fdb/FdbVectorStore.java:575-580)."""
+    idx = make_index(storage, max_segment_size=100)
+    x = gaussian(rng, 20)
+    gids = idx.add_all(x)  # gids 0..19, WAL-only (no checkpoint)
+    idx.delete_all(gids[10:])  # kill the top half, incl. the max gid
+
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=100)
+    assert idx2.store.next_gid == 20
+    new_gid = idx2.add(gaussian(rng, 1)[0])
+    assert new_gid == 20  # fresh, not a recycled deleted gid
+    for g in gids[10:]:
+        assert idx2.resolve_ids([g]) == [(-1, -1)]
     idx2.close()
 
 
@@ -168,7 +200,7 @@ def test_delete_then_add_interleaving_durable(storage, rng):
     idx.delete_all(gids[:5])
     more = idx.add_all(gaussian(rng, 3))
 
-    idx2 = crash_reopen(storage, max_segment_size=100)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=100)
     seg = idx2.store.segments[0]
     assert seg.meta.count == 38  # 40 - 5 + 3
     assert seg.meta.deleted_count == 5
@@ -194,7 +226,7 @@ def test_stale_wal_replay_over_newer_checkpoint_is_idempotent(storage, rng):
         for r in recs:
             storage.wal_append("idx", sid, r)
 
-    idx2 = crash_reopen(storage, max_segment_size=50)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=50)
     seg = idx2.store.segments[0]
     assert seg.meta.count == 9
     assert seg.meta.deleted_count == 1
@@ -220,7 +252,7 @@ def test_rotation_does_not_write_full_segment(storage, rng, monkeypatch):
     assert 0 in calls and 1 in calls  # seal checkpoints instead
     idx.close()
 
-    idx2 = crash_reopen(storage, max_segment_size=10)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=10)
     assert idx2.store.segments[2].meta.count == 5  # ACTIVE rows from WAL
     assert idx2.store.segments[0].state == SegmentState.SEALED
     idx2.close()
@@ -242,7 +274,7 @@ def test_orphan_writing_segment_dropped_on_reopen(storage, rng):
         idx.store.segments[dest_id] = dest
         idx.store.checkpoint_state()
 
-    idx2 = crash_reopen(storage, max_segment_size=30)
+    idx2 = crash_reopen(storage, dead=idx, max_segment_size=30)
     assert dest_id not in idx2.store.segments
     assert idx2.query(x[5], 1)[0].gid == gids[5]
     idx2.close()

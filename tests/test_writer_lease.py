@@ -11,6 +11,16 @@ from vectorsearch_tpu.utils.metrics import get_registry, reset_for_test
 from tests.test_index_e2e import gaussian, make_index, run_builds
 
 
+def _inject_foreign_lease(idx, ttl_ms=60_000, owner="deadbeef-foreign"):
+    """Plants another process's live lease record directly in storage."""
+    store = idx.store
+    now = idx.config.effective.clock_ms()
+    with store.storage.queue_lock(store.name, store._LEASE_KEY):
+        leases = store.storage.read_queue(store.name, store._LEASE_KEY) or {}
+        leases[owner] = now + ttl_ms
+        store.storage.write_queue(store.name, store._LEASE_KEY, leases)
+
+
 def _two_instances(storage, rng, **kw):
     writer = make_index(storage, max_segment_size=30,
                         vacuum_min_deleted_ratio=0.1, **kw)
@@ -75,14 +85,14 @@ def test_compaction_reverts_if_writer_appears_mid_flight(storage, rng):
     # no foreign writer yet (own lease doesn't count): flip succeeds
     assert idx.maintenance.mark_candidates_compacting([0, 1]) is True
 
-    # simulate another process's live lease landing now
-    writer = make_index(storage, max_segment_size=30, name="idx")
-    writer.add_all(gaussian(rng, 1))
+    # simulate another process's live lease landing now (a second index can't
+    # legitimately take it while ours is live — single-writer enforcement —
+    # so inject the record the way a raced/partitioned process would leave it)
+    _inject_foreign_lease(idx, ttl_ms=60_000)
 
     assert idx.maintenance.compact_segments([0, 1]) is None
     states = {sid: s.state.name for sid, s in idx.store.segments.items()}
     assert states[0] == "SEALED" and states[1] == "SEALED"
-    writer.close()
     idx.close()
 
 
@@ -96,3 +106,114 @@ def test_lease_disabled_means_no_refusal(storage, rng):
     idx.delete_all(gids[:10])
     assert idx.maintenance.vacuum_segment(0) == 10
     idx.close()
+
+
+# --------------------------------------- single-writer enforcement (r3 #3)
+
+
+def test_second_mutating_process_refused(storage, rng):
+    """Two processes mutating the same index: the second deterministically
+    fails instead of silently clobbering state / allocating duplicate gids
+    (the reference allows this via FDB transactions,
+    fdb/FdbVectorStore.java:575-601; the rebuild enforces one writer)."""
+    import pytest
+
+    from vectorsearch_tpu import ConcurrentWriterError
+
+    first = make_index(storage, max_segment_size=100)
+    gids1 = first.add_all(gaussian(rng, 10))
+
+    second = make_index(storage, max_segment_size=100)
+    with pytest.raises(ConcurrentWriterError):
+        second.add_all(gaussian(rng, 5))
+    with pytest.raises(ConcurrentWriterError):
+        second.delete(gids1[0])
+
+    # the established writer keeps going; no gid was consumed by the refusal
+    gids2 = first.add_all(gaussian(rng, 5))
+    assert sorted(gids1 + gids2) == list(range(15))
+    second.close()
+    first.close()
+
+
+def test_writer_allowed_after_first_closes(storage, rng):
+    first = make_index(storage, max_segment_size=100)
+    first.add_all(gaussian(rng, 10))
+    first.close()  # releases the lease
+
+    second = make_index(storage, max_segment_size=100)
+    second.refresh()
+    gids = second.add_all(gaussian(rng, 5))
+    assert gids == list(range(10, 15))  # fresh gids, counter continued
+    second.close()
+
+
+def test_wait_policy_blocks_until_release(storage, rng):
+    """writer_conflict_policy="wait" parks the second writer until the lease
+    lapses instead of raising."""
+    import threading
+
+    first = make_index(storage, max_segment_size=100)
+    first.add_all(gaussian(rng, 10))
+
+    second = make_index(storage, max_segment_size=100,
+                        writer_conflict_policy="wait",
+                        writer_conflict_wait_timeout_s=10.0)
+    got = []
+    t = threading.Thread(
+        target=lambda: got.extend(second.add_all(gaussian(rng, 3)))
+    )
+    t.start()
+    t.join(timeout=0.3)
+    assert t.is_alive()  # still parked behind the live lease
+    first.close()
+    t.join(timeout=10.0)
+    assert not t.is_alive()
+    assert len(got) == 3 and min(got) >= 10
+    second.close()
+
+
+def test_idle_writer_lease_kept_alive_by_keeper(storage, rng):
+    """An idle-but-open writer must not lapse: the background keeper
+    heartbeats so foreign maintenance can't remap gids under it
+    (ADVICE r2 store.py:78)."""
+    import time as _time
+
+    idx = make_index(storage, max_segment_size=30,
+                     vacuum_min_deleted_ratio=0.1, writer_lease_ttl_ms=900)
+    x = gaussian(rng, 60)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.delete_all(gids[:10])
+
+    _time.sleep(1.4)  # > ttl: without the keeper the lease would be expired
+
+    other = make_index(storage, max_segment_size=30,
+                       vacuum_min_deleted_ratio=0.1, writer_lease_ttl_ms=900)
+    assert other.maintenance.vacuum_segment(0) == 0  # still refused
+    other.close()
+    idx.close()
+
+
+def test_maintenance_holds_lease_during_vacuum(storage, rng):
+    """A pure-maintenance process takes the writer lease for the op duration
+    (a writer starting mid-vacuum would race the row remap) and releases it
+    after, so it doesn't block the real writer between tasks."""
+    writer = make_index(storage, max_segment_size=30,
+                        vacuum_min_deleted_ratio=0.1)
+    x = gaussian(rng, 60)
+    gids = writer.add_all(x)
+    run_builds(writer)
+    writer.delete_all(gids[:10])
+    writer.checkpoint()
+    writer.close()
+
+    maint = make_index(storage, max_segment_size=30,
+                       vacuum_min_deleted_ratio=0.1)
+    assert maint.maintenance.vacuum_segment(0) == 10
+    # lease released right after the op: a new writer may proceed
+    w2 = make_index(storage, max_segment_size=30)
+    w2.refresh()
+    w2.add_all(gaussian(rng, 3))
+    w2.close()
+    maint.close()

@@ -25,11 +25,17 @@ from vectorsearch_tpu.config import (
 )
 from vectorsearch_tpu.params import Mode, SearchParams, SeedStrategy
 from vectorsearch_tpu.results import SearchResult
-from vectorsearch_tpu.types import IndexMeta, SegmentMeta, SegmentState
+from vectorsearch_tpu.types import (
+    ConcurrentWriterError,
+    IndexMeta,
+    SegmentMeta,
+    SegmentState,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "ConcurrentWriterError",
     "GlobalTaskQueueConfig",
     "DiskStorage",
     "IndexMeta",

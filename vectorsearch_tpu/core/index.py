@@ -687,7 +687,7 @@ class VectorIndex:
         if self._owns_queues:
             self.build_queue.close()
             self.maintenance_queue.close()
-        self.store.release_writer_lease()
+        self.store.close()
 
     def __enter__(self):
         return self

@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import time
 from typing import Optional
@@ -62,6 +63,33 @@ class MaintenanceService:
         )
         return True
 
+    @contextlib.contextmanager
+    def _writer_slot(self, what: str):
+        """Holds the (exclusive) writer lease for the duration of a
+        gid-remapping op, so a foreign writer can't start mid-remap — the
+        mirror image of add/delete refusing while maintenance holds the
+        lease. Yields False (op must bail) when a live foreign writer exists
+        or the lease can't be taken; releases on exit unless this process
+        already held the lease (it is the writer running its own
+        maintenance)."""
+        if self.config.effective.writer_lease_ttl_ms <= 0:
+            yield True
+            return
+        if self._refuse_for_foreign_writer(what):
+            yield False
+            return
+        held_before = self.store.holds_live_lease()
+        if not held_before and not self.store.try_acquire_writer_lease():
+            # lost the race to a writer between the check and the acquire
+            self._refuse_for_foreign_writer(what)
+            yield False
+            return
+        try:
+            yield True
+        finally:
+            if not held_before:
+                self.store.release_writer_lease()
+
     # ----------------------------------------------------------------- vacuum
 
     def vacuum_segment(self, seg_id: int, min_ratio: Optional[float] = None) -> int:
@@ -71,9 +99,13 @@ class MaintenanceService:
         cfg = self.config
         if min_ratio is None:
             min_ratio = cfg.effective.vacuum_min_deleted_ratio
+        with self._writer_slot("vacuum") as ok:
+            if not ok:
+                return 0
+            return self._vacuum_locked(seg_id, min_ratio, t0, metrics, cfg)
+
+    def _vacuum_locked(self, seg_id, min_ratio, t0, metrics, cfg) -> int:
         removed = 0
-        if self._refuse_for_foreign_writer("vacuum"):
-            return 0
         try:
             with self.store.lock:
                 seg = self.store.segments.get(seg_id)
@@ -201,8 +233,12 @@ class MaintenanceService:
     def mark_candidates_compacting(self, seg_ids: list[int]) -> bool:
         """Atomically flips all candidates SEALED->COMPACTING, or none
         (reference: tasks/MaintenanceWorker.java:120-155)."""
-        if self._refuse_for_foreign_writer("compaction"):
-            return False
+        with self._writer_slot("compaction") as ok:
+            if not ok:
+                return False
+            return self._mark_candidates_locked(seg_ids)
+
+    def _mark_candidates_locked(self, seg_ids: list[int]) -> bool:
         with self.store.lock:
             segs = []
             for sid in seg_ids:
@@ -220,20 +256,36 @@ class MaintenanceService:
     def compact_segments(self, seg_ids: list[int]) -> Optional[int]:
         """Merges source segments into one new SEALED segment; returns the new
         segment id, or None if aborted."""
+        with self._writer_slot("compaction") as ok:
+            if not ok:
+                # a writer appeared between the COMPACTING flip and execution:
+                # revert sources so the planner can retry after lease expiry
+                self._revert_compaction(seg_ids)
+                return None
+            return self._compact_with_lease(seg_ids)
+
+    def _revert_compaction(
+        self, seg_ids: list[int], dest_id: Optional[int] = None
+    ) -> None:
+        """Reverts sources COMPACTING->SEALED and discards an unregistered
+        WRITING destination (invisible to search, so dropping it is safe)."""
+        store = self.store
+        with store.lock:
+            for sid in seg_ids:
+                seg = store.segments.get(sid)
+                if seg is not None and seg.state == SegmentState.COMPACTING:
+                    seg.meta.state = SegmentState.SEALED
+            if dest_id is not None:
+                store.segments.pop(dest_id, None)
+                store.storage.delete_segment(store.name, dest_id)
+                store.storage.wal_reset(store.name, dest_id)
+            store.checkpoint_state()
+
+    def _compact_with_lease(self, seg_ids: list[int]) -> Optional[int]:
         t0 = time.monotonic()
         metrics = get_registry()
         cfg = self.config
         store = self.store
-        if self._refuse_for_foreign_writer("compaction"):
-            # a writer appeared between the COMPACTING flip and execution:
-            # revert sources so the planner can retry after the lease expires
-            with store.lock:
-                for sid in seg_ids:
-                    seg = store.segments.get(sid)
-                    if seg is not None and seg.state == SegmentState.COMPACTING:
-                        seg.meta.state = SegmentState.SEALED
-                store.checkpoint_state()
-            return None
         try:
             # 1) reserve destination as WRITING (invisible to search :254-271)
             with store.lock:
@@ -288,6 +340,14 @@ class MaintenanceService:
             #    deletes that arrived on sources during the build (:391-414) —
             #    all through the native map's batch API
             with store.lock:
+                if store.live_foreign_writers():
+                    # Defense-in-depth (ADVICE r2): we hold the lease for the
+                    # whole compaction, so this only fires if our lease lapsed
+                    # (keeper death / long process pause) and a writer slipped
+                    # in. Abort rather than swap over its mutations.
+                    self._refuse_for_foreign_writer("compaction")
+                    self._revert_compaction(seg_ids, dest_id=dest_id)
+                    return None
                 if plan_gids:
                     gids_arr = np.concatenate(plan_gids)
                     src_arr = np.concatenate(plan_src)

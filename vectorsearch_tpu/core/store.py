@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -30,7 +31,12 @@ from vectorsearch_tpu.config import VectorIndexConfig
 from vectorsearch_tpu.core.segment import Segment
 from vectorsearch_tpu.native import GidMap, pack_loc, unpack_loc
 from vectorsearch_tpu.core.tasks import BuildTask
-from vectorsearch_tpu.types import IndexMeta, SegmentMeta, SegmentState
+from vectorsearch_tpu.types import (
+    ConcurrentWriterError,
+    IndexMeta,
+    SegmentMeta,
+    SegmentState,
+)
 
 LOG = logging.getLogger("vectorsearch_tpu.store")
 
@@ -62,6 +68,9 @@ class VectorStore:
 
         self.owner_id = uuid.uuid4().hex
         self._lease_written_ms = 0
+        self._lease_mu = threading.Lock()  # serializes lease writes vs keeper
+        self._lease_keeper: Optional[threading.Thread] = None
+        self._lease_stop = threading.Event()
         # Per-segment count of WAL records already applied to local arrays —
         # our own appends count too, so refresh()'s delta sync is a natural
         # no-op for mutations this process made itself. The txid of the last
@@ -76,27 +85,118 @@ class VectorStore:
     _LEASE_KEY = "writer-leases"
 
     def heartbeat_writer_lease(self) -> None:
-        ttl = self.config.effective.writer_lease_ttl_ms
+        """Acquires-or-renews this process's EXCLUSIVE writer lease; raises
+        ConcurrentWriterError (or waits, per writer_conflict_policy) when
+        another process holds a live one. Called by every mutation — this is
+        the single-writer enforcement point (the reference instead allows
+        concurrent writers via FDB transactions + a transactional nextGid
+        counter, fdb/FdbVectorStore.java:575-601; two uncoordinated writers
+        here would allocate overlapping gids from local counters and clobber
+        each other's checkpoints)."""
+        eff = self.config.effective
+        ttl = eff.writer_lease_ttl_ms
         if ttl <= 0:
             return
-        now = self.config.effective.clock_ms()
-        if now - self._lease_written_ms < ttl // 2:
+        now = eff.clock_ms()
+        if self._lease_written_ms > 0 and now - self._lease_written_ms < ttl // 2:
+            return  # our lease is fresh; foreigners are excluded by THEIR check
+        if self._try_write_lease(now):
             return
-        with self.storage.queue_lock(self.name, self._LEASE_KEY):
-            leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
-            leases = {o: e for o, e in leases.items() if e > now}  # GC expired
-            leases[self.owner_id] = now + ttl
-            self.storage.write_queue(self.name, self._LEASE_KEY, leases)
-        self._lease_written_ms = now
+        if eff.writer_conflict_policy == "wait":
+            deadline = time.monotonic() + eff.writer_conflict_wait_timeout_s
+            poll_s = min(0.05, max(0.005, ttl / 1000.0 / 20.0))
+            while time.monotonic() < deadline:
+                time.sleep(poll_s)
+                if self._try_write_lease(eff.clock_ms()):
+                    return
+        raise ConcurrentWriterError(
+            f"index '{self.name}': another process holds a live writer lease "
+            f"(policy={eff.writer_conflict_policy}); route writes to the "
+            "lease holder or wait for it to close"
+        )
+
+    def try_acquire_writer_lease(self) -> bool:
+        """Non-raising one-shot acquire (maintenance ops hold the lease for
+        their duration so a writer can't start mid-remap). True on success
+        or when leases are disabled."""
+        eff = self.config.effective
+        if eff.writer_lease_ttl_ms <= 0:
+            return True
+        return self._try_write_lease(eff.clock_ms())
+
+    def _try_write_lease(self, now: int) -> bool:
+        """One atomic check-and-set under the cross-process queue lock:
+        succeeds iff no OTHER live lease exists. Starts the background
+        keeper on first success (ADVICE r2: an idle-but-open writer must not
+        silently lapse and let foreign maintenance remap gids under it)."""
+        ttl = self.config.effective.writer_lease_ttl_ms
+        with self._lease_mu:
+            with self.storage.queue_lock(self.name, self._LEASE_KEY):
+                leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
+                leases = {o: e for o, e in leases.items() if e > now}  # GC
+                if any(o != self.owner_id for o in leases):
+                    return False
+                leases[self.owner_id] = now + ttl
+                self.storage.write_queue(self.name, self._LEASE_KEY, leases)
+            self._lease_written_ms = now
+        self._start_lease_keeper()
+        return True
+
+    def _start_lease_keeper(self) -> None:
+        if self._lease_keeper is not None:
+            return
+        ttl = self.config.effective.writer_lease_ttl_ms
+
+        def _keep():
+            interval = max(0.2, ttl / 3000.0)  # renew at ~ttl/3 (real time)
+            while not self._lease_stop.wait(interval):
+                try:
+                    with self._lease_mu:
+                        if self._lease_written_ms <= 0:
+                            continue  # released; idle until re-acquired
+                        now = self.config.effective.clock_ms()
+                        with self.storage.queue_lock(self.name, self._LEASE_KEY):
+                            leases = (
+                                self.storage.read_queue(self.name, self._LEASE_KEY)
+                                or {}
+                            )
+                            if self.owner_id not in leases:
+                                # our record vanished (expired + GC'd, or an
+                                # operator cleared it): we LOST the lease —
+                                # renew-only, never resurrect; the next
+                                # mutation re-acquires through the full
+                                # conflict check
+                                self._lease_written_ms = 0
+                                continue
+                            leases = {o: e for o, e in leases.items() if e > now}
+                            leases[self.owner_id] = now + ttl
+                            self.storage.write_queue(
+                                self.name, self._LEASE_KEY, leases
+                            )
+                        self._lease_written_ms = now
+                except Exception:  # pragma: no cover - storage hiccup
+                    LOG.exception("writer-lease keeper heartbeat failed")
+
+        t = threading.Thread(target=_keep, name="vstpu-lease-keeper", daemon=True)
+        self._lease_keeper = t
+        t.start()
 
     def release_writer_lease(self) -> None:
-        if self._lease_written_ms == 0:
-            return
-        with self.storage.queue_lock(self.name, self._LEASE_KEY):
-            leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
-            if leases.pop(self.owner_id, None) is not None:
-                self.storage.write_queue(self.name, self._LEASE_KEY, leases)
-        self._lease_written_ms = 0
+        with self._lease_mu:
+            if self._lease_written_ms == 0:
+                return
+            with self.storage.queue_lock(self.name, self._LEASE_KEY):
+                leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
+                if leases.pop(self.owner_id, None) is not None:
+                    self.storage.write_queue(self.name, self._LEASE_KEY, leases)
+            self._lease_written_ms = 0
+
+    def holds_live_lease(self) -> bool:
+        eff = self.config.effective
+        ttl = eff.writer_lease_ttl_ms
+        if ttl <= 0 or self._lease_written_ms == 0:
+            return False
+        return eff.clock_ms() - self._lease_written_ms < ttl
 
     def live_foreign_writers(self) -> list[str]:
         """Owner ids of OTHER processes holding a live writer lease."""
@@ -105,6 +205,14 @@ class VectorStore:
         now = self.config.effective.clock_ms()
         leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
         return [o for o, e in leases.items() if o != self.owner_id and e > now]
+
+    def close(self) -> None:
+        """Stops the lease keeper and releases the writer lease."""
+        self._lease_stop.set()
+        if self._lease_keeper is not None:
+            self._lease_keeper.join(timeout=2.0)
+            self._lease_keeper = None
+        self.release_writer_lease()
 
     # ------------------------------------------------------------------ open
 
@@ -200,6 +308,18 @@ class VectorStore:
                 self._wal_last_txid[sid] = (
                     records[-1].get("txid") if records else None
                 )
+                # gid high-water mark: tombstoned rows set gids_np=-1, so the
+                # live-gid scan below would REGRESS next_gid if the highest
+                # gids were deleted before this reopen — and then hand those
+                # gids to new vectors, breaking gid stability (the reference's
+                # nextGid counter only ever grows, fdb/FdbVectorStore.java:
+                # 575-580). Add records carry every gid ever assigned; fold
+                # their max in before the live scan.
+                for rec in records:
+                    if rec.get("op") == "add" and len(rec.get("gids", ())):
+                        self.next_gid = max(
+                            self.next_gid, int(np.max(rec["gids"])) + 1
+                        )
             # Rebuild derived state from segment truth: the gid map, counts,
             # and the gid counter (reconciles meta.count with arrays — counts
             # in persisted metas may predate WAL-only mutations).
@@ -337,7 +457,10 @@ class VectorStore:
                     self.gid_map.put_batch(
                         gids[live], (np.int64(seg.seg_id) << 32) | vids[live]
                     )
-                    self.next_gid = max(self.next_gid, int(gids[live].max()) + 1)
+                if len(gids):
+                    # high-water over ALL gids the record ever assigned (not
+                    # just still-live ones) — deleted gids must never recycle
+                    self.next_gid = max(self.next_gid, int(gids.max()) + 1)
                 added = True
             elif rec["op"] == "del":
                 for vid in np.asarray(rec["vids"], np.int64).tolist():

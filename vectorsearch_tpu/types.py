@@ -13,6 +13,15 @@ import enum
 from typing import Optional
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another process holds a live writer lease on this index. The rebuild
+    enforces a single mutating process per index (the reference instead makes
+    concurrent writers safe via FDB serializable transactions and a
+    transactional nextGid counter, fdb/FdbVectorStore.java:575-601). Route
+    writes to the lease holder (e.g. cluster write forwarding), wait for the
+    lease to lapse, or configure writer_conflict_policy="wait"."""
+
+
 class SegmentState(enum.Enum):
     """Five-state segment lifecycle (reference: vectorsearch.proto:74-101).
 
