@@ -1,6 +1,8 @@
 """Durability backends: disk round-trip, crash-resume semantics
 (the rebuild's explicit checkpoint story per SURVEY.md §5.4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -278,3 +280,76 @@ def test_orphan_writing_segment_dropped_on_reopen(storage, rng):
     assert dest_id not in idx2.store.segments
     assert idx2.query(x[5], 1)[0].gid == gids[5]
     idx2.close()
+
+
+# --------------------------------------------- crash-proof durability (fsync)
+
+
+def test_fsync_kill9_subprocess_survives(tmp_path):
+    """Acknowledged adds/deletes from a kill -9'd process survive reopen with
+    fsync on (the default). fsync-deep = FDB-commit-deep durability
+    (fdb/FdbVectorStore.java:276-492); kill -9 exercises the OS-buffer layer,
+    the fsyncs extend the same guarantee through kernel/power loss."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "d")
+    child = textwrap.dedent(f"""
+        import os, signal
+        import numpy as np
+        from vectorsearch_tpu.core.persist import DiskStorage
+        from tests.test_index_e2e import make_index
+        rng = np.random.default_rng(7)
+        idx = make_index(DiskStorage({root!r}), max_segment_size=100)
+        x = rng.normal(size=(20, 8)).astype(np.float32)
+        gids = idx.add_all(x, [f"p{{i}}".encode() for i in range(20)])
+        idx.delete_all(gids[:3])
+        np.save({root!r} + "/expected.npy", x)
+        print("ACK", flush=True)   # mutations acknowledged
+        os.kill(os.getpid(), signal.SIGKILL)   # no close(), no checkpoint()
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    proc = subprocess.run([sys.executable, "-c", child], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert "ACK" in proc.stdout, proc.stderr
+    assert proc.returncode == -9
+
+    x = np.load(root + "/expected.npy")
+    idx2 = make_index(DiskStorage(root), max_segment_size=100)
+    seg = idx2.store.segments[0]
+    assert seg.meta.count == 17
+    assert seg.meta.deleted_count == 3
+    r = idx2.query(x[12], 1)
+    assert r[0].payload == b"p12"
+    for g in (0, 1, 2):
+        assert idx2.resolve_ids([g]) == [(-1, -1)]
+    idx2.close()
+
+
+def test_group_commit_flushes_on_interval(tmp_path):
+    """wal_group_commit_ms defers fsync to a background flusher; records are
+    still immediately visible to readers (flush-level), and the flusher
+    drains the dirty set."""
+    import time as _time
+
+    s = DiskStorage(str(tmp_path / "g"), fsync=True, wal_group_commit_ms=20.0)
+    for i in range(5):
+        s.wal_append("a", 0, {"op": "del", "vids": np.array([i])})
+    assert len(s.wal_read("a", 0)) == 5  # read-your-writes before fsync
+    deadline = _time.monotonic() + 5.0
+    while s._dirty_wals and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert not s._dirty_wals  # group commit happened
+    s.close()
+    assert len(s.wal_read("a", 0)) == 5
+
+
+def test_fsync_off_still_process_crash_safe(tmp_path):
+    """fsync=False keeps the round-2 contract: flush-level durability (loss
+    window documented as kernel/power crash only)."""
+    s = DiskStorage(str(tmp_path / "nf"), fsync=False)
+    s.wal_append("a", 1, {"op": "del", "vids": np.array([0])})
+    s2 = DiskStorage(str(tmp_path / "nf"), fsync=False)
+    assert len(s2.wal_read("a", 1)) == 1
+    s.close()

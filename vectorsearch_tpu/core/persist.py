@@ -197,12 +197,57 @@ class MemoryStorage(IndexStorage):
 
 
 class DiskStorage(IndexStorage):
-    """Directory-backed storage: JSON for metadata, npz+pickle for segment data."""
+    """Directory-backed storage: JSON for metadata, npz+pickle for segment data.
 
-    def __init__(self, root: str):
+    Durability levels (the reference's FDB commits survive machine crashes,
+    fdb/FdbVectorStore.java:276-492; flush-only writes survive process death
+    but not kernel/power loss):
+
+    - ``fsync=True`` (default): every WAL append fsyncs before returning, and
+      every atomic rename (state/meta/segment/queue) fsyncs the tmp file and
+      the parent directory — acknowledged mutations survive a machine crash.
+    - ``wal_group_commit_ms > 0``: WAL appends return after flush; a
+      background flusher fsyncs dirty logs every N ms (group commit). Loss
+      window on kernel/power crash = at most that many ms of acknowledged
+      mutations; process death (kill -9) still loses nothing.
+    - ``fsync=False``: flush-only everywhere (fastest; the round-2 behavior).
+    """
+
+    def __init__(self, root: str, fsync: bool = True,
+                 wal_group_commit_ms: float = 0.0):
         self.root = root
+        self.fsync = bool(fsync)
+        self.wal_group_commit_ms = float(wal_group_commit_ms)
         self._lock = threading.RLock()
+        # open append handles per WAL path; value = [file, dir_synced: bool]
+        self._wal_handles: Dict[str, list] = {}
+        self._dirty_wals: set = set()  # paths awaiting a group-commit fsync
+        self._flusher: Optional[threading.Thread] = None
+        self._flusher_stop = threading.Event()
         os.makedirs(root, exist_ok=True)
+
+    # -- fsync helpers --------------------------------------------------
+
+    def _sync_dir(self, path: str) -> None:
+        if not self.fsync:
+            return
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def _replace_synced(self, tmp: str, dst: str) -> None:
+        """rename + (optionally) fsync file-then-directory, so the swap
+        itself survives a machine crash, not just process death."""
+        if self.fsync:
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        os.replace(tmp, dst)
+        self._sync_dir(os.path.dirname(dst))
 
     def _idx(self, name: str) -> str:
         safe = name.replace("/", "__")
@@ -226,7 +271,8 @@ class DiskStorage(IndexStorage):
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(obj, f)
-        os.replace(tmp, path)  # atomic swap: crash-consistent like an FDB commit
+        # atomic swap: crash-consistent like an FDB commit
+        self._replace_synced(tmp, path)
 
     def read_meta(self, name):
         with self._lock:
@@ -252,7 +298,7 @@ class DiskStorage(IndexStorage):
             tmp = p + ".tmp"
             with open(tmp, "wb") as f:
                 pickle.dump(state, f)
-            os.replace(tmp, p)
+            self._replace_synced(tmp, p)
 
     def _seg_dir(self, name):
         return os.path.join(self._idx(name), "segments")
@@ -267,12 +313,12 @@ class DiskStorage(IndexStorage):
             # segment vs 0.06s for ~13% size — checkpoints sit on the build
             # and rotation paths
             np.savez(tmp, **arrays)
-            os.replace(tmp, npz)
+            self._replace_synced(tmp, npz)
             pp = os.path.join(d, f"{seg_id}.payloads.pkl")
             tmpp = pp + ".tmp"
             with open(tmpp, "wb") as f:
                 pickle.dump(payloads, f)
-            os.replace(tmpp, pp)
+            self._replace_synced(tmpp, pp)
 
     def read_segment(self, name, seg_id):
         with self._lock:
@@ -299,6 +345,14 @@ class DiskStorage(IndexStorage):
         with self._lock:
             import shutil
 
+            prefix = self._idx(name) + os.sep
+            for path in [p for p in self._wal_handles if p.startswith(prefix)]:
+                h = self._wal_handles.pop(path)
+                self._dirty_wals.discard(path)
+                try:
+                    h[0].close()
+                except OSError:
+                    pass
             if os.path.exists(self._idx(name)):
                 shutil.rmtree(self._idx(name))
 
@@ -311,14 +365,77 @@ class DiskStorage(IndexStorage):
     def wal_append(self, name, seg_id, record):
         # Length-framed pickle appended to a per-segment log. A crash mid-write
         # leaves a torn tail frame which wal_read skips — the record simply
-        # never committed, matching an aborted FDB transaction.
+        # never committed, matching an aborted FDB transaction. Handles stay
+        # open across appends (one open per mutation would dominate the
+        # fsync'd hot write path).
         blob = pickle.dumps(record, protocol=pickle.HIGHEST_PROTOCOL)
         frame = len(blob).to_bytes(8, "little") + blob
         with self._lock:
-            os.makedirs(self._wal_dir(name), exist_ok=True)
-            with open(self._wal_path(name, seg_id), "ab") as f:
-                f.write(frame)
-                f.flush()
+            path = self._wal_path(name, seg_id)
+            h = self._wal_handles.get(path)
+            if h is None:
+                os.makedirs(self._wal_dir(name), exist_ok=True)
+                created = not os.path.exists(path)
+                h = [open(path, "ab"), not created]
+                self._wal_handles[path] = h
+            f, dir_synced = h
+            f.write(frame)
+            f.flush()
+            if not self.fsync:
+                return
+            if self.wal_group_commit_ms > 0:
+                self._dirty_wals.add(path)
+                self._start_flusher()
+                return
+            os.fsync(f.fileno())
+            if not dir_synced:
+                # first append after file creation: persist the dirent too
+                self._sync_dir(self._wal_dir(name))
+                h[1] = True
+
+    def _start_flusher(self):
+        if self._flusher is not None:
+            return
+
+        def _flush_loop():
+            interval = max(0.001, self.wal_group_commit_ms / 1000.0)
+            while not self._flusher_stop.wait(interval):
+                self.flush_wals()
+
+        t = threading.Thread(target=_flush_loop, name="vstpu-wal-flusher",
+                             daemon=True)
+        self._flusher = t
+        t.start()
+
+    def flush_wals(self) -> None:
+        """Group commit: one fsync per dirty WAL since the last cycle."""
+        with self._lock:
+            dirty, self._dirty_wals = self._dirty_wals, set()
+            for path in dirty:
+                h = self._wal_handles.get(path)
+                if h is None:
+                    continue
+                try:
+                    os.fsync(h[0].fileno())
+                    if not h[1]:
+                        self._sync_dir(os.path.dirname(path))
+                        h[1] = True
+                except (OSError, ValueError):  # closed/removed underneath
+                    pass
+
+    def close(self) -> None:
+        self._flusher_stop.set()
+        if self._flusher is not None:
+            self._flusher.join(timeout=2.0)
+            self._flusher = None
+        self.flush_wals()
+        with self._lock:
+            for h in self._wal_handles.values():
+                try:
+                    h[0].close()
+                except OSError:
+                    pass
+            self._wal_handles.clear()
 
     def wal_read(self, name, seg_id):
         with self._lock:
@@ -342,6 +459,13 @@ class DiskStorage(IndexStorage):
     def wal_reset(self, name, seg_id):
         with self._lock:
             p = self._wal_path(name, seg_id)
+            h = self._wal_handles.pop(p, None)
+            if h is not None:
+                self._dirty_wals.discard(p)
+                try:
+                    h[0].close()
+                except OSError:
+                    pass
             if os.path.exists(p):
                 os.remove(p)
 
