@@ -189,37 +189,78 @@ def test_expire_after_access_evicts_idle_bundles(storage, rng):
 
 def test_hot_path_breakdowns_sampled(storage, rng):
     """The default (stacked/flat) path records pq_scan/traversal/rerank
-    breakdowns via sampled split-phase dispatch — batch 0 always samples
-    (reference records per-sealed-query breakdowns on its hot path,
-    fdb/FdbVectorIndex.java:99-116)."""
+    breakdowns via sampled split-phase dispatch. Batch 0 is NEVER sampled
+    (would compile 3 extra programs before the first answer) and the first
+    sampled dispatch per shape warms the split programs WITHOUT recording
+    (first executions read 3-10x slow and would pollute the histograms) —
+    the reference records per-sealed-query breakdowns on its hot path,
+    fdb/FdbVectorIndex.java:99-116."""
     reset_for_test()
-    idx = make_index(storage, max_segment_size=50)
+    idx = make_index(storage, max_segment_size=50,
+                     query_breakdown_sample_every=1)
     x = gaussian(rng, 80)
     idx.add_all(x)
     run_builds(idx)
     m = get_registry()
-    r_split = idx.query_batch(x[:4], 5)  # batch 0: sampled (split-phase)
+    r0 = idx.query_batch(x[:4], 5)  # batch 0: never sampled
+    assert not m.histogram_values("vectorsearch.query.pq_scan_ms")
+    r_warm = idx.query_batch(x[:4], 5)  # batch 1: sampled, warm-up discard
+    assert not m.histogram_values("vectorsearch.query.pq_scan_ms")
+    r_split = idx.query_batch(x[:4], 5)  # batch 2: sampled AND recorded
     assert m.histogram_values("vectorsearch.query.pq_scan_ms")
     # flat mode has no traversal phase; gauge stays live at 0
     assert m.histogram_values("vectorsearch.query.graph_traversal_ms") == [0.0]
     assert m.histogram_values("vectorsearch.query.rerank_ms")
-    r_fused = idx.query_batch(x[:4], 5)  # batch 1: fused, no new breakdowns
-    assert len(m.histogram_values("vectorsearch.query.pq_scan_ms")) == 1
     # split-phase dispatch returns identical results to the fused program
     assert [[r.gid for r in q] for q in r_split] == [
-        [r.gid for r in q] for q in r_fused]
+        [r.gid for r in q] for q in r0]
+    assert [[r.gid for r in q] for q in r_warm] == [
+        [r.gid for r in q] for q in r0]
+    idx.close()
+
+
+def test_hot_path_breakdowns_random_pivots(storage, rng):
+    """The RANDOM_PIVOTS per-segment path records phase timings only on
+    sampled batches, with device syncs before each clock read — un-synced
+    deltas would measure async enqueue time, not compute (r2 VERDICT #7)."""
+    from vectorsearch_tpu.params import SearchParams, SeedStrategy
+
+    reset_for_test()
+    idx = make_index(storage, max_segment_size=50,
+                     query_breakdown_sample_every=1)
+    x = gaussian(rng, 80)
+    idx.add_all(x)
+    run_builds(idx)
+    m = get_registry()
+    import dataclasses
+
+    p = dataclasses.replace(
+        SearchParams.defaults(5, 2), seed_strategy=SeedStrategy.RANDOM_PIVOTS
+    )
+    idx.query_batch(x[:4], 5, p)  # batch 0: never sampled
+    assert not m.histogram_values("vectorsearch.query.pq_scan_ms")
+    idx.query_batch(x[:4], 5, p)  # batch 1: sampled, warm-up discard
+    assert not m.histogram_values("vectorsearch.query.pq_scan_ms")
+    idx.query_batch(x[:4], 5, p)  # batch 2: sampled AND recorded
+    # one record per sealed segment searched on the sampled batch
+    assert m.histogram_values("vectorsearch.query.pq_scan_ms")
+    assert m.histogram_values("vectorsearch.query.graph_traversal_ms")
+    assert m.histogram_values("vectorsearch.query.rerank_ms")
     idx.close()
 
 
 def test_hot_path_breakdowns_graph_mode_and_off(storage, rng):
     reset_for_test()
     idx = make_index(storage, name="g", max_segment_size=50,
-                     sealed_search_mode="graph")
+                     sealed_search_mode="graph",
+                     query_breakdown_sample_every=1)
     x = gaussian(rng, 80)
     idx.add_all(x)
     run_builds(idx)
     m = get_registry()
-    idx.query_batch(x[:4], 5)
+    idx.query_batch(x[:4], 5)  # batch 0: never sampled
+    idx.query_batch(x[:4], 5)  # batch 1: warm-up discard
+    idx.query_batch(x[:4], 5)  # batch 2: recorded
     trav = m.histogram_values("vectorsearch.query.graph_traversal_ms")
     assert trav and trav[0] > 0.0  # real traversal phase timing
     assert m.histogram_values("vectorsearch.query.pq_scan_ms")
