@@ -1,11 +1,16 @@
 """Benchmark harness — prints ONE JSON line {metric, value, unit, vs_baseline}.
 
-Default workload (VSTPU_BENCH=sift100k): the BASELINE.json north-star shape —
-one SEALED 100k-vector segment, dim=128, PQ M=16 K=256, graph degree=32,
-BEST_FIRST k=10 with exact re-rank, batched queries, through the full
-VectorIndex API. Reports QPS/chip with the measured recall@10 embedded in the
-metric name; clustered data (512 Gaussian clusters) stands in for SIFT1M
-structure since the real dataset can't be downloaded here (zero egress).
+Default workload (VSTPU_BENCH=sift1m): the BASELINE.json north-star shape —
+1M vectors dim=128 as 10 SEALED 100k segments, k=10, batched queries through
+the full VectorIndex API. Default sealed mode is "exact" (raw-vector MXU
+scan): the round-3 interleaved A/B (benchmarks/ab_sift1m.py) measured exact
+at 37.1k QPS @ recall 0.995 / 5 s build vs flat (PQ/ADC) at 8.9k QPS @ 0.994
+/ 110 s build on this workload — exact is the measured winner for <=~2M-row
+indexes and the documented recommendation (README); flat remains the config
+default because PQ is what scales past HBM (10M+ rows). Clustered data
+(Gaussian clusters) stands in for SIFT1M structure since the real dataset
+can't be downloaded here (zero egress). VSTPU_BENCH=sift100k runs the
+single-segment 100k variant.
 
 VSTPU_BENCH=ref reproduces the reference's JMH E2E workload instead
 (src/jmh/.../VectorIndexSearchBenchmark.java:29-132: 1100 vectors dim=8,
@@ -30,14 +35,16 @@ BASELINE_QPS = 1000.0  # estimated single-thread Java reference
 # corpus; see ROADMAP.md "PQ operating point").
 PQ_M = int(os.environ.get("VSTPU_PQ_M", "16"))
 PQ_K = int(os.environ.get("VSTPU_PQ_K", "256"))
-# Sealed-search mode for the sift benches: "flat" (PQ/ADC scan) or "exact"
-# (direct raw-vector MXU scan, config.sealed_search_mode).
-SEALED_MODE = os.environ.get("VSTPU_SEALED_MODE", "flat")
-# In exact mode, optionally skip PQ+graph builds at seal entirely
-# (pq_build_mode="skip_for_exact"): VSTPU_PQ_BUILD=skip.
+# Sealed-search mode for the sift benches: "exact" (direct raw-vector MXU
+# scan — the measured winner at these corpus sizes, module docstring) or
+# "flat" (PQ/ADC scan, the library's config default).
+SEALED_MODE = os.environ.get("VSTPU_SEALED_MODE", "exact")
+# In exact mode, PQ+graph builds at seal are skipped by default
+# (pq_build_mode="skip_for_exact"); VSTPU_PQ_BUILD=always keeps them.
 PQ_BUILD = (
     "skip_for_exact"
-    if os.environ.get("VSTPU_PQ_BUILD") == "skip" and SEALED_MODE == "exact"
+    if os.environ.get("VSTPU_PQ_BUILD", "skip") == "skip"
+    and SEALED_MODE == "exact"
     else "always"
 )
 
@@ -506,7 +513,7 @@ def main():
     from vectorsearch_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    which = os.environ.get("VSTPU_BENCH", "sift100k")
+    which = os.environ.get("VSTPU_BENCH", "sift1m")
     fn = {"sift100k": bench_sift100k, "sift1m": bench_sift1m, "ref": bench_ref,
           "churn": bench_churn, "glove": bench_glove,
           "deep10m": bench_deep10m}[which]
