@@ -268,3 +268,66 @@ def test_cluster_mutation_forwarding(tmp_path, rng):
         for sidx, srv in shards:
             srv.close()
             sidx.close()
+
+
+def test_shard_host_ram_is_sharded(tmp_path, rng):
+    """A shard host materializes row data ONLY for its own segments (foreign
+    segments are meta-only stubs), so host RAM scales ~1/n_shards (r2
+    VERDICT #6) — while the router's merge over all shards stays exact."""
+    root = str(tmp_path / "ram")
+    x = clustered(rng, 400)
+    idx, gids = build_disk_index(root, x)
+    want_g, want_s, _ = idx.query_batch_arrays(x[:16], 10)
+    n_segs = len(idx.store.snapshot_segments())
+    full_rows = sum(s.next_row for s in idx.store.snapshot_segments())
+    idx.close()
+
+    shards = []
+    for sh in range(2):
+        sidx = VectorIndex.create_or_open(VectorIndexConfig(
+            storage=DiskStorage(root), name="cl", dimension=x.shape[1],
+            pq_m=4, pq_k=16, max_segment_size=100, graph_degree=16,
+            graph_build_breadth=64, local_worker_threads=0,
+            local_maintenance_worker_threads=0, segment_shard=(sh, 2),
+        ))
+        shards.append(sidx)
+
+    for sh, sidx in enumerate(shards):
+        with sidx.store.lock:
+            segs = list(sidx.store.segments.values())
+        assert len(segs) == n_segs  # full registry view (metas for all)
+        owned = [s for s in segs if s.seg_id % 2 == sh]
+        foreign = [s for s in segs if s.seg_id % 2 != sh]
+        assert owned and foreign
+        # foreign segments: stubs — no rows, no payloads, tiny arrays
+        for s in foreign:
+            assert s.is_stub and s.next_row == 0
+            assert s.vectors_np.nbytes <= 128 * x.shape[1] * 4
+            assert s.meta.count > 0 or s.state.name == "ACTIVE"  # meta intact
+        # owned segments hold their checkpointed rows
+        rows = sum(s.next_row for s in owned)
+        assert 0 < rows < full_rows
+        # host-RAM fraction ~ shard fraction (segments are equal-sized here)
+        frac = rows / full_rows
+        assert 0.2 <= frac <= 0.8, frac
+
+    # the two shards' materialized rows partition the corpus exactly
+    assert sum(
+        s.next_row
+        for sidx in shards
+        for s in sidx.store.snapshot_segments()
+        if not s.is_stub
+    ) == full_rows
+
+    # queries through the router remain exact
+    servers = [ClusterQueryServer(sidx, port=0).start() for sidx in shards]
+    client = ClusterClient([srv.address for srv in servers])
+    try:
+        got_g, got_s, _ = client.query_batch_arrays(x[:16], 10)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-5)
+        assert (got_g == want_g).mean() > 0.95
+    finally:
+        client.shutdown_servers()
+        for srv, sidx in zip(servers, shards):
+            srv.close()
+            sidx.close()

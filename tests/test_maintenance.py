@@ -274,8 +274,9 @@ def test_two_into_one_merge(storage, rng):
     run_builds(idx)
     assert idx.store.segments[0].state == SegmentState.SEALED
     assert idx.store.segments[1].state == SegmentState.SEALED
-    # delete some rows from each
-    idx.delete_all(gids[:5] + gids[30:35])
+    # delete enough that the merged live rows fit one maxSegmentSize dest
+    # (30 live; an over-cap merge splits instead — see the split test below)
+    idx.delete_all(gids[:15] + gids[30:45])
 
     assert idx.maintenance.mark_candidates_compacting([0, 1])
     new_id = idx.maintenance.compact_segments([0, 1])
@@ -285,16 +286,51 @@ def test_two_into_one_merge(storage, rng):
     with idx.store.lock:
         assert 0 not in idx.store.segments and 1 not in idx.store.segments
         assert idx.store.segments[new_id].state == SegmentState.SEALED
-        assert idx.store.segments[new_id].meta.count == 50
+        assert idx.store.segments[new_id].meta.count == 30
 
     # gid stability: surviving gids resolve to the new segment and queries
     # still return them
-    locs = idx.resolve_ids(gids[5:30])
+    locs = idx.resolve_ids(gids[15:30] + gids[45:60])
     assert all(l[0] == new_id for l in locs)
-    for i in (7, 20, 40, 59):
+    for i in (17, 25, 47, 59):
         res = idx.query(x[i], 3)
         assert res[0].gid == gids[i], f"row {i}"
     # deleted gids stay gone
+    assert idx.resolve_ids(gids[:15]) == [(-1, -1)] * 15
+    idx.close()
+
+
+def test_compaction_splits_oversized_destination(storage, rng):
+    """Sources whose merged live rows exceed maxSegmentSize split into
+    multiple capped destinations (r2 VERDICT #5): an oversized single
+    segment would meet the O(N^2) graph builder and break mesh
+    cap-divisibility. The reference's FDB segments have no physical cap so
+    its single destination is safe there (MaintenanceService.java:254-271)."""
+    idx = make_index(storage, max_segment_size=30,
+                     compaction_min_fragmentation=0.0)
+    x = gaussian(rng, 90)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.delete_all(gids[:5])  # 85 live -> ceil(85/30) = 3 capped dests
+    assert idx.maintenance.mark_candidates_compacting([0, 1, 2])
+    first = idx.maintenance.compact_segments([0, 1, 2])
+    assert first is not None
+
+    with idx.store.lock:
+        assert all(sid not in idx.store.segments for sid in (0, 1, 2))
+        dests = [s for s in idx.store.segments.values() if s.seg_id >= first
+                 and s.state == SegmentState.SEALED]
+        assert len(dests) == 3
+        assert sorted(d.meta.count for d in dests) == [25, 30, 30]
+        assert all(d.capacity <= 30 for d in dests)
+        dest_ids = {d.seg_id for d in dests}
+
+    # gid stability: every survivor resolves into one of the capped dests
+    locs = idx.resolve_ids(gids[5:])
+    assert all(l[0] in dest_ids for l in locs)
+    for i in (7, 33, 61, 89):
+        res = idx.query(x[i], 3)
+        assert res[0].gid == gids[i], f"row {i}"
     assert idx.resolve_ids(gids[:5]) == [(-1, -1)] * 5
     idx.close()
 

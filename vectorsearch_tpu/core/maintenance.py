@@ -254,8 +254,13 @@ class MaintenanceService:
     # ------------------------------------------------------------- compaction
 
     def compact_segments(self, seg_ids: list[int]) -> Optional[int]:
-        """Merges source segments into one new SEALED segment; returns the new
-        segment id, or None if aborted."""
+        """Merges source segments into new SEALED segment(s); returns the
+        first new segment id, or None if aborted. When the merged live rows
+        exceed maxSegmentSize the destination SPLITS into multiple capped
+        segments — an oversized single segment would meet the O(N^2) graph
+        builder and break mesh cap-divisibility (the reference's FDB segments
+        have no physical cap, so its single destination is safe there;
+        tasks/MaintenanceService.java:254-271)."""
         with self._writer_slot("compaction") as ok:
             if not ok:
                 # a writer appeared between the COMPACTING flip and execution:
@@ -265,17 +270,17 @@ class MaintenanceService:
             return self._compact_with_lease(seg_ids)
 
     def _revert_compaction(
-        self, seg_ids: list[int], dest_id: Optional[int] = None
+        self, seg_ids: list[int], dest_ids: Optional[list[int]] = None
     ) -> None:
-        """Reverts sources COMPACTING->SEALED and discards an unregistered
-        WRITING destination (invisible to search, so dropping it is safe)."""
+        """Reverts sources COMPACTING->SEALED and discards unregistered
+        WRITING destinations (invisible to search, so dropping them is safe)."""
         store = self.store
         with store.lock:
             for sid in seg_ids:
                 seg = store.segments.get(sid)
                 if seg is not None and seg.state == SegmentState.COMPACTING:
                     seg.meta.state = SegmentState.SEALED
-            if dest_id is not None:
+            for dest_id in dest_ids or ():
                 store.segments.pop(dest_id, None)
                 store.storage.delete_segment(store.name, dest_id)
                 store.storage.wal_reset(store.name, dest_id)
@@ -287,7 +292,11 @@ class MaintenanceService:
         cfg = self.config
         store = self.store
         try:
-            # 1) reserve destination as WRITING (invisible to search :254-271)
+            # 1) reserve destination(s) as WRITING (invisible to search
+            #    :254-271). The planner's 80% budget keeps the merged live
+            #    rows under maxSegmentSize in normal operation, but a manual
+            #    request_compaction may exceed it — then the copy splits
+            #    across ceil(total/cap) capped destinations.
             with store.lock:
                 sources = []
                 for sid in seg_ids:
@@ -298,47 +307,58 @@ class MaintenanceService:
                         )
                         return None
                     sources.append(seg)
-                # The destination sizes itself to the merged live rows — the
-                # planner's 80% budget keeps this under maxSegmentSize in
-                # normal operation, but a manual request_compaction may exceed
-                # it (the reference's FDB segments have no physical cap).
-                total_live = sum(s.meta.count for s in sources)
-                dest_id = store.max_segment_id + 1
-                store.max_segment_id = dest_id
-                dest = store._new_segment(
-                    dest_id, SegmentState.WRITING,
-                    capacity=max(cfg.max_segment_size, total_live),
-                )
-                store.segments[dest_id] = dest  # not in registry => invisible
+                src_live = [
+                    np.flatnonzero(
+                        s.alive_np[: s.next_row] & (s.gids_np[: s.next_row] >= 0)
+                    )
+                    for s in sources
+                ]
+                total_live = sum(len(lv) for lv in src_live)
+                n_dest = max(1, -(-total_live // cfg.max_segment_size))
+                dests: list = []
+                for _ in range(n_dest):
+                    dest_id = store.max_segment_id + 1
+                    store.max_segment_id = dest_id
+                    d = store._new_segment(dest_id, SegmentState.WRITING)
+                    store.segments[dest_id] = d  # not in registry => invisible
+                    dests.append(d)
 
-                # 2) copy live rows + payloads in ONE bulk append per source,
-                #    recording (gid, src loc, dest row) as parallel arrays
-                plan_gids: list[np.ndarray] = []
-                plan_src: list[np.ndarray] = []  # packed (src_sid, vid)
-                plan_dvid: list[np.ndarray] = []
-                for seg in sources:
-                    live = np.flatnonzero(
-                        seg.alive_np[: seg.next_row]
-                        & (seg.gids_np[: seg.next_row] >= 0)
-                    )
-                    if len(live) == 0:
-                        continue
-                    dvids = dest.append_rows(
-                        seg.vectors_np[live], [seg.payloads[i] for i in live]
-                    )
-                    plan_gids.append(seg.gids_np[live].copy())
-                    plan_src.append(
-                        (np.int64(seg.seg_id) << 32) | live.astype(np.int64)
-                    )
-                    plan_dvid.append(np.asarray(dvids, np.int64))
+                # 2) copy live rows + payloads in bulk appends, filling each
+                #    destination to its cap before starting the next;
+                #    per-dest parallel arrays record (gid, src loc, dest row)
+                plan_gids = [[] for _ in dests]  # type: list[list[np.ndarray]]
+                plan_src = [[] for _ in dests]  # packed (src_sid, vid)
+                plan_dvid = [[] for _ in dests]
+                di = 0
+                for seg, live in zip(sources, src_live):
+                    off = 0
+                    while off < len(live):
+                        dest = dests[di]
+                        room = dest.remaining_capacity()
+                        if room == 0:
+                            di += 1
+                            continue
+                        take = live[off : off + room]
+                        dvids = dest.append_rows(
+                            seg.vectors_np[take],
+                            [seg.payloads[i] for i in take],
+                        )
+                        plan_gids[di].append(seg.gids_np[take].copy())
+                        plan_src[di].append(
+                            (np.int64(seg.seg_id) << 32) | take.astype(np.int64)
+                        )
+                        plan_dvid[di].append(np.asarray(dvids, np.int64))
+                        off += len(take)
                 store.checkpoint_state()
+            dest_ids = [d.seg_id for d in dests]
 
-            # 3) build + seal destination (PQ + graph; WRITING is buildable)
-            self.build_service.build(dest_id)
+            # 3) build + seal destinations (PQ + graph; WRITING is buildable)
+            for dest_id in dest_ids:
+                self.build_service.build(dest_id)
 
-            # 4) atomic swap: register dest, drop sources, remap gids; re-apply
-            #    deletes that arrived on sources during the build (:391-414) —
-            #    all through the native map's batch API
+            # 4) atomic swap: register dests, drop sources, remap gids;
+            #    re-apply deletes that arrived on sources during the build
+            #    (:391-414) — all through the native map's batch API
             with store.lock:
                 if store.live_foreign_writers():
                     # Defense-in-depth (ADVICE r2): we hold the lease for the
@@ -346,12 +366,14 @@ class MaintenanceService:
                     # (keeper death / long process pause) and a writer slipped
                     # in. Abort rather than swap over its mutations.
                     self._refuse_for_foreign_writer("compaction")
-                    self._revert_compaction(seg_ids, dest_id=dest_id)
+                    self._revert_compaction(seg_ids, dest_ids=dest_ids)
                     return None
-                if plan_gids:
-                    gids_arr = np.concatenate(plan_gids)
-                    src_arr = np.concatenate(plan_src)
-                    dvid_arr = np.concatenate(plan_dvid)
+                for di, dest in enumerate(dests):
+                    if not plan_gids[di]:
+                        continue
+                    gids_arr = np.concatenate(plan_gids[di])
+                    src_arr = np.concatenate(plan_src[di])
+                    dvid_arr = np.concatenate(plan_dvid[di])
                     current = store.gid_map.get_batch(gids_arr)
                     stale = current != src_arr  # deleted/remapped during build
                     if stale.any():
@@ -362,22 +384,26 @@ class MaintenanceService:
                         dest.meta.deleted_count += int(stale.sum())
                     ok = ~stale
                     store.gid_map.put_batch(
-                        gids_arr[ok], (np.int64(dest_id) << 32) | dvid_arr[ok]
+                        gids_arr[ok],
+                        (np.int64(dest.seg_id) << 32) | dvid_arr[ok],
                     )
                     dest.gids_np[dvid_arr[ok]] = gids_arr[ok]
-                dest.invalidate_device()
-                store.registry.append(dest_id)
+                for dest in dests:
+                    dest.invalidate_device()
+                    store.registry.append(dest.seg_id)
                 for seg in sources:
                     if seg.seg_id in store.registry:
                         store.registry.remove(seg.seg_id)
                     store.segments.pop(seg.seg_id, None)
                     store.storage.delete_segment(store.name, seg.seg_id)
-                store.checkpoint_segment(dest_id)
+                for dest_id in dest_ids:
+                    store.checkpoint_segment(dest_id)
                 store.checkpoint_state()
-            dest.warm_device()  # upload here, not on the next query's path
+            for dest in dests:
+                dest.warm_device()  # upload here, not on the next query path
             metrics.inc("vectorsearch.compaction.run")
-            LOG.info("compacted %s -> %d", seg_ids, dest_id)
-            return dest_id
+            LOG.info("compacted %s -> %s", seg_ids, dest_ids)
+            return dest_ids[0]
         finally:
             metrics.record(
                 "vectorsearch.compaction.duration_ms",

@@ -73,6 +73,14 @@ class Segment:
     the owning index's lock; device sync is internally locked so concurrent
     readers can trigger it safely."""
 
+    # True for shard-foreign placeholder segments (meta only, no row data):
+    # a cluster shard host keeps ~1/n_shards of the corpus in host RAM by
+    # loading other shards' segments as stubs (core/store.py). Stubs are
+    # never searched (the segment_shard query filter excludes them), never
+    # WAL-replayed, and never checkpointed (their zeros must not overwrite
+    # the owner's data).
+    is_stub = False
+
     def __init__(self, meta: SegmentMeta, capacity: int, dim: int, device=None,
                  mesh=None, payload_arena: bool = False):
         self.meta = meta

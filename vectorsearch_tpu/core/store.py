@@ -243,6 +243,20 @@ class VectorStore:
             return devs[seg_id % len(devs)]
         return self.config.device
 
+    def _owns(self, seg_id: int) -> bool:
+        """Shard ownership: with config.segment_shard=(shard, n) set (cluster
+        serving, parallel/cluster.py), this process holds row data only for
+        seg_id % n == shard; other segments load as stubs (meta only) so host
+        RAM scales ~1/n_shards (r2 VERDICT #6 — the reference's FDB hosts
+        keep no local copies at all, fdb/FdbVectorStore.java range reads)."""
+        ss = self.config.segment_shard
+        return ss is None or seg_id % ss[1] == ss[0]
+
+    def _stub_segment(self, sid: int, meta: SegmentMeta) -> Segment:
+        seg = Segment(meta, 0, self.config.dimension)
+        seg.is_stub = True
+        return seg
+
     def _new_segment(self, seg_id: int, state: SegmentState,
                      capacity: int | None = None) -> Segment:
         meta = SegmentMeta(
@@ -279,9 +293,17 @@ class VectorStore:
                 # interrupted compaction (the swap never committed; sources
                 # remain authoritative) — drop it, like the reference where
                 # an unregistered dest is invisible and its task retries.
+                # Shard readers (segment_shard set) must NOT clean: the dest
+                # may belong to a live writer's in-flight compaction.
                 if meta.state == SegmentState.WRITING and sid not in self.registry:
-                    self.storage.delete_segment(self.name, sid)
-                    self.storage.wal_reset(self.name, sid)
+                    if self.config.segment_shard is None:
+                        self.storage.delete_segment(self.name, sid)
+                        self.storage.wal_reset(self.name, sid)
+                    continue
+                if not self._owns(sid):
+                    # foreign shard: meta-only stub, no checkpoint read, no
+                    # row arrays — host RAM stays ~1/n_shards
+                    self.segments[sid] = self._stub_segment(sid, meta)
                     continue
                 rec = self.storage.read_segment(self.name, sid)
                 if rec is None:
@@ -300,8 +322,13 @@ class VectorStore:
             for sid in self.storage.wal_segments(self.name):
                 seg = self.segments.get(sid)
                 if seg is None:
-                    self.storage.wal_reset(self.name, sid)  # unknown: debris
+                    # unknown: debris — but shard readers leave foreign
+                    # processes' WALs alone
+                    if self.config.segment_shard is None:
+                        self.storage.wal_reset(self.name, sid)
                     continue
+                if seg.is_stub:
+                    continue  # foreign shard: rows not materialized here
                 records = self.storage.wal_read(self.name, sid)
                 seg.replay_wal(records)
                 self._wal_applied[sid] = len(records)
@@ -327,8 +354,8 @@ class VectorStore:
             max_gid = -1
             for sid in self.registry:
                 seg = self.segments.get(sid)
-                if seg is None:
-                    continue
+                if seg is None or seg.is_stub:
+                    continue  # stubs: resolve routes to the writer (cluster)
                 vids = np.flatnonzero(seg.gids_np[: seg.next_row] >= 0)
                 if len(vids):
                     gids = seg.gids_np[vids]
@@ -342,6 +369,8 @@ class VectorStore:
             # reference's queue lives in FDB; ours is in-process, so re-enqueue
             # builds for any PENDING/WRITING segment found on open.
             for sid, seg in self.segments.items():
+                if seg.is_stub:
+                    continue  # foreign shard: its owner re-enqueues builds
                 if seg.state in (SegmentState.PENDING, SegmentState.WRITING):
                     self.enqueue_build_task(sid)
 
@@ -379,8 +408,8 @@ class VectorStore:
         idempotent (records re-apply in order)."""
         with self.lock:
             seg = self.segments.get(seg_id)
-            if seg is None:
-                return
+            if seg is None or seg.is_stub:
+                return  # a stub's zeros must never overwrite the owner's data
             self.storage.write_segment(
                 self.name, seg_id, seg.to_arrays(), seg.payloads_for_checkpoint()
             )
@@ -399,7 +428,12 @@ class VectorStore:
     def _load_segment_locked(self, sid: int, meta: SegmentMeta) -> Segment:
         """(Re)loads a segment from its persisted checkpoint (or creates it
         empty when no checkpoint exists yet) and registers it locally. The
-        caller is responsible for WAL replay via the delta pass."""
+        caller is responsible for WAL replay via the delta pass. Foreign-
+        shard segments load as stubs (meta only; see _owns)."""
+        if not self._owns(sid):
+            seg = self._stub_segment(sid, meta)
+            self.segments[sid] = seg
+            return seg
         rec = self.storage.read_segment(self.name, sid)
         if rec is None:
             seg = self._new_segment(sid, meta.state)
@@ -556,6 +590,12 @@ class VectorStore:
                 local = self.segments.get(sid)
                 if local is None or sid == self.current_segment:
                     continue  # we own the ACTIVE segment's unpersisted rows
+                if local.is_stub:
+                    # meta-only view: adopt lifecycle flips, never load rows
+                    if meta.state != local.state or meta.count != local.meta.count:
+                        local.meta = meta
+                        changed.add(sid)
+                    continue
                 if (
                     meta.state == SegmentState.SEALED
                     and local.state != SegmentState.SEALED
@@ -583,8 +623,8 @@ class VectorStore:
             # --- WAL delta sync: mutations appended since our last look
             for sid in self.storage.wal_segments(self.name):
                 seg = self.segments.get(sid)
-                if seg is None:
-                    continue  # not in our registry view; leave the WAL alone
+                if seg is None or seg.is_stub:
+                    continue  # not in our shard/view; leave the WAL alone
                 recs = self.storage.wal_read(self.name, sid)
                 applied = self._wal_applied.get(sid, 0)
                 stale = len(recs) < applied or (

@@ -75,25 +75,95 @@ def _knn_block(
     )
 
 
+# Above this row count the [B, N] distance matrix of _knn_block becomes the
+# build bottleneck (write+read of ~2-8 GB of f32 intermediates per block);
+# the fused binned-pool kernel keeps score tiles in VMEM instead. 256k keeps
+# the well-measured XLA path for the default 100k-cap segments.
+FUSED_KNN_MIN_ROWS = 262_144
+
+
+@functools.partial(jax.jit, static_argnames=("l", "ef", "interpret"))
+def _knn_block_fused(
+    block_vecs: jax.Array,  # f32[B, D]
+    block_ids: jax.Array,  # i32[B]
+    vectors: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N]
+    l: int,
+    ef: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-l candidates via the fused exact binned-pool kernel
+    (ops/pallas/exact.py): scores reduce to per-bin (max, argmax) in VMEM, so
+    HBM traffic is (read X once per block) + a pool ~32x smaller than the
+    [B, N] matrix — this is what lifts the graph build past the ~300k-row
+    wall of the XLA path (r2 VERDICT #5). Self rows always win their bin
+    (distance 0) and are dropped by the exact re-rank below; bin collisions
+    can lose true candidates, which RobustPrune + reverse-edge merge
+    tolerate (same as the rt=0.95 approx_max_k in _knn_block)."""
+    from vectorsearch_tpu.ops.pallas.exact import exact_pool_topk_pallas
+
+    idx = exact_pool_topk_pallas(
+        block_vecs, vectors, valid, ef_buf=ef, metric="L2",
+        interpret=interpret,
+    )  # i32[B, ef], -1 = empty
+    safe = jnp.maximum(idx, 0)
+    cand = vectors[safe]  # [B, ef, D]
+    diff = cand - block_vecs[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # exact f32 re-rank of the pool
+    d2 = jnp.where((idx >= 0) & (idx != block_ids[:, None]), d2, INF)
+    order = jnp.argsort(d2, axis=1)[:, :l]
+    return (
+        jnp.where(
+            jnp.isfinite(jnp.take_along_axis(d2, order, axis=1)),
+            jnp.take_along_axis(idx, order, axis=1), -1,
+        ).astype(jnp.int32),
+        jnp.take_along_axis(d2, order, axis=1),
+    )
+
+
+def _use_fused_knn(n: int) -> bool:
+    from vectorsearch_tpu.ops.pallas.adc import is_tpu_backend
+
+    return n >= FUSED_KNN_MIN_ROWS and is_tpu_backend()
+
+
 def knn_candidates(
     vectors: jax.Array,
     valid: jax.Array,
     l: int,
     row_block: int = 2048,
+    fused: bool | None = None,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-l neighbor candidates for every row (self excluded), blocked
-    over rows to bound the [B, N] distance matrix.
+    over rows to bound the [B, N] distance matrix. Above FUSED_KNN_MIN_ROWS
+    (TPU only) the blocks run through the fused binned-pool kernel instead.
 
     Returns (idx i32[N, l], d2 f32[N, l]) sorted ascending by d2; -1/inf pads.
     """
     n = vectors.shape[0]
     l_eff = min(l, n)
     ids = jnp.arange(n, dtype=jnp.int32)
+    if fused is None:
+        fused = _use_fused_knn(n)
+    if fused:
+        # 512-row blocks keep the stage-2 pool tiny ([512, N/16] bf16); the
+        # MXU still sees [512, D] x [D, T] tiles, far past its break-even
+        row_block = min(row_block, 512)
+        ef = max(128, 1 << (int(l_eff) + 1 - 1).bit_length())
     idx_out = []
     d2_out = []
     for start in range(0, n, row_block):
         stop = min(start + row_block, n)
-        bi, bd = _knn_block(vectors[start:stop], ids[start:stop], vectors, valid, l_eff)
+        if fused:
+            bi, bd = _knn_block_fused(
+                vectors[start:stop], ids[start:stop], vectors, valid, l_eff,
+                ef, interpret=interpret,
+            )
+        else:
+            bi, bd = _knn_block(
+                vectors[start:stop], ids[start:stop], vectors, valid, l_eff
+            )
         idx_out.append(bi)
         d2_out.append(bd)
     idx = jnp.concatenate(idx_out, axis=0)
