@@ -75,3 +75,74 @@ def test_payload_storage_validated(storage):
     with pytest.raises(ValueError, match="payloadStorage"):
         VectorIndexConfig(storage=storage, name="x", dimension=8,
                           pq_m=4, pq_k=16, payload_storage="mmap")
+
+
+def test_c_builder_arena_fast_path():
+    """The C result builder accepts arena (off, len, blob) descriptors and
+    slices payload bytes at C speed (r2 VERDICT #10 — arena-mode indexes
+    previously fell back to the ~8 ms/batch Python loop)."""
+    import numpy as np
+
+    from vectorsearch_tpu.core.payloads import PayloadArena
+    from vectorsearch_tpu.native import load_result_builder
+    from vectorsearch_tpu.results import SearchResult
+
+    builder = load_result_builder()
+    if builder is None:
+        import pytest
+
+        pytest.skip("native result builder unavailable")
+
+    arena = PayloadArena(8)
+    arena[0] = b"zero"
+    arena[2] = b""
+    arena[3] = b"three-3"
+    nq, k = 2, 3
+    gid = np.asarray([[10, 11, 12], [13, -1, 14]], np.int64)
+    score = np.ones((nq, k), np.float32)
+    dist = np.zeros((nq, k), np.float32)
+    # slot 0: arena; slot 1: plain list
+    slot = np.asarray([[0, 0, 1], [0, 0, 0]], np.int32)
+    vid = np.asarray([[0, 1, 1], [3, 0, 2]], np.int32)
+    valid = np.asarray([[1, 1, 1], [1, 0, 1]], np.uint8)
+    out = builder(
+        SearchResult, gid, score, dist, slot, vid, valid,
+        [arena.c_planes(), [None, b"list-payload"]], nq, k,
+    )
+    assert [r.payload for r in out[0]] == [b"zero", None, b"list-payload"]
+    assert [r.payload for r in out[1]] == [b"three-3", b""]
+    assert [r.gid for r in out[1]] == [13, 14]
+
+    # out-of-range vid against the arena planes surfaces as IndexError
+    import pytest
+
+    bad_vid = np.asarray([[99, 0, 0], [0, 0, 0]], np.int32)
+    with pytest.raises(IndexError):
+        builder(SearchResult, gid, score, dist, slot, bad_vid, valid,
+                [arena.c_planes(), [None, b"x"]], nq, k)
+
+
+def test_arena_objects_api_uses_c_builder(storage, rng):
+    """End-to-end: an arena-mode index's query_batch returns correct payloads
+    through the C fast path (no silent Python-loop fallback)."""
+    from tests.test_index_e2e import gaussian, make_index, run_builds
+    from vectorsearch_tpu.native import load_result_builder
+
+    idx = make_index(storage, name="arena_c", max_segment_size=40,
+                     payload_storage="arena")
+    x = gaussian(rng, 60)
+    payloads = [f"pp{i}".encode() if i % 3 else None for i in range(60)]
+    gids = idx.add_all(x, payloads)
+    run_builds(idx)
+    res = idx.query_batch(x[:20], 1)
+    for i, r in enumerate(res):
+        assert r[0].gid == gids[i]
+        assert r[0].payload == payloads[i]
+    # concurrent append while a c_planes() export is alive must not raise
+    # (copy-on-grow blob): simulate by holding planes across adds
+    seg = idx.store.snapshot_segments()[-1]
+    if not isinstance(seg.payloads, list):
+        planes = seg.payloads.c_planes()
+        idx.add_all(x[:5], [b"growing" * 200] * 5)
+        assert planes[2] is not None  # old export still alive and readable
+    idx.close()

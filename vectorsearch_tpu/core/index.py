@@ -1058,6 +1058,9 @@ class VectorIndex:
             if not gexact and any(_pqless(seg) for seg in group):
                 self._warn_pqless_once()
                 gflat, gexact = False, True
+            if not (gflat or gexact):
+                # this group will graph-traverse: fence the TPU perf cliff
+                self._warn_traversal_perf_once()
             if not use_stacked:
                 for seg in group:
                     res = self._search_sealed(qd, qs, seg, k, per_seg_limit,
@@ -1306,10 +1309,6 @@ class VectorIndex:
 
             builder = load_result_builder()
             built = None
-            if builder is not None and any(
-                not isinstance(seg.payloads, list) for seg in seg_list
-            ):
-                builder = None  # arena payloads: C builder walks lists only
             if builder is not None:
                 try:
                     built = builder(
@@ -1320,7 +1319,15 @@ class VectorIndex:
                         np.ascontiguousarray(slot_of, np.int32),
                         np.ascontiguousarray(vid_of, np.int32),
                         np.ascontiguousarray(valid, np.uint8),
-                        [seg.payloads for seg in seg_list],
+                        [
+                            # arena segments pass (off, len, blob) planes —
+                            # the C builder slices payload bytes straight
+                            # from the blob (copy-on-grow, so the exported
+                            # buffer is never resized under us)
+                            seg.payloads if isinstance(seg.payloads, list)
+                            else seg.payloads.c_planes()
+                            for seg in seg_list
+                        ],
                         nq, valid.shape[1],
                     )
                 except (TypeError, ValueError):
@@ -1467,6 +1474,29 @@ class VectorIndex:
 
     # -- sealed path, RANDOM_PIVOTS fallback (reference :730-837) -------------
 
+    def _warn_traversal_perf_once(self) -> None:
+        """Visible perf fence for graph-traversal execution on TPU (r2
+        VERDICT #8): the batched frontier expansion pays a ~30 ms/step
+        XLA-gather floor ([Q, C] from [Q, N] is element-serial on TPU), so
+        BEAM / sealed_search_mode='graph' / RANDOM_PIVOTS serve ~2.5k QPS
+        where the flat/exact pools serve 37-56k at equal-or-better recall
+        (ROADMAP.md #0). Parity modes stay available; this warning makes the
+        cost visible once per process."""
+        if getattr(self, "_traversal_perf_warned", False):
+            return
+        self._traversal_perf_warned = True
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+        LOG.warning(
+            "graph-traversal query path selected on TPU (mode=BEAM, "
+            "sealed_search_mode='graph', or RANDOM_PIVOTS): expect ~10-20x "
+            "lower QPS than sealed_search_mode='flat'/'exact' at the same "
+            "recall — the frontier gather is element-serial on TPU "
+            "(this warning is logged once)"
+        )
+
     def _warn_graphless_once(self) -> None:
         if not self._graphless_warned:
             self._graphless_warned = True
@@ -1534,6 +1564,7 @@ class VectorIndex:
             )
             return scores, dists, idx, seg
 
+        self._warn_traversal_perf_once()  # RANDOM_PIVOTS always traverses
         t_pq = time.monotonic()
         codebook = self.caches.get_codebook(seg)
         codes = seg.codes_dev

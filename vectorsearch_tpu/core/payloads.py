@@ -1,12 +1,19 @@
-"""Compact payload storage: one bytes blob + int64 offset/length planes.
+"""Compact payload storage: one uint8 blob + int64 offset/length planes.
 
 The reference stores payloads as FDB values next to each vector
 (fdb/FdbVectorStore.java:425-492), so corpus size never pressures process
 memory. The list-mode default here keeps one Python object per row — fine to
 ~1M rows, but 10M payload objects cost GBs of pointer-heavy heap and GC time.
-`PayloadArena` replaces the per-row objects with a single append-only
-bytearray plus two int64 numpy planes (16 bytes/row fixed overhead);
+`PayloadArena` replaces the per-row objects with a single append-only numpy
+uint8 blob plus two int64 planes (16 bytes/row fixed overhead);
 `__getitem__` materializes a payload only when a result actually returns it.
+
+The blob grows copy-on-grow (amortized O(1)): growth allocates a NEW array
+and leaves the old one alive, so a buffer exported to the C result builder
+(native/resultbuilder.c arena fast path) can never be invalidated by a
+concurrent writer's append — the exported prefix is immutable by
+construction. A bytearray blob would instead raise BufferError on any
+resize while exported.
 
 Semantics match the list exactly: absent payloads are None; clearing a row
 (vacuum) drops the reference (blob space is reclaimed when the segment is
@@ -20,12 +27,13 @@ import numpy as np
 
 
 class PayloadArena:
-    __slots__ = ("_off", "_len", "_blob")
+    __slots__ = ("_off", "_len", "_blob", "_blob_len")
 
     def __init__(self, cap: int):
         self._off = np.full(cap, -1, np.int64)
         self._len = np.zeros(cap, np.int64)
-        self._blob = bytearray()
+        self._blob = np.empty(1024, np.uint8)
+        self._blob_len = 0
 
     def __len__(self) -> int:
         return len(self._off)
@@ -36,20 +44,33 @@ class PayloadArena:
         o = int(self._off[i])
         if o < 0:
             return None
-        return bytes(self._blob[o : o + int(self._len[i])])
+        return self._blob[o : o + int(self._len[i])].tobytes()
 
     def __setitem__(self, i: int, payload) -> None:
         if payload is None:
             self._off[i] = -1
             self._len[i] = 0
             return
-        b = bytes(payload)
-        self._off[i] = len(self._blob)
+        b = np.frombuffer(bytes(payload), np.uint8)
+        need = self._blob_len + len(b)
+        if need > len(self._blob):
+            new = np.empty(max(need, 2 * len(self._blob)), np.uint8)
+            new[: self._blob_len] = self._blob[: self._blob_len]
+            self._blob = new  # old array stays alive for exported buffers
+        self._blob[self._blob_len : need] = b
+        self._off[i] = self._blob_len
         self._len[i] = len(b)
-        self._blob += b
+        self._blob_len = need
 
     def nbytes(self) -> int:
-        return len(self._blob) + self._off.nbytes + self._len.nbytes
+        return self._blob_len + self._off.nbytes + self._len.nbytes
+
+    def c_planes(self) -> tuple:
+        """(off i64[cap], len i64[cap], blob u8[*]) descriptor for the C
+        result builder's arena fast path. Snapshot semantics: the returned
+        blob reference covers every payload written before this call;
+        concurrent appends grow a NEW blob and never touch this one."""
+        return (self._off, self._len, self._blob)
 
     # ------------------------------------------------------------ persistence
 
@@ -57,7 +78,7 @@ class PayloadArena:
         """Planes for embedding into the segment's npz checkpoint (no Python
         object explosion at checkpoint time, unlike pickling a list)."""
         return {
-            "payload_blob": np.frombuffer(bytes(self._blob), np.uint8),
+            "payload_blob": self._blob[: self._blob_len].copy(),
             "payload_off": self._off[:n].copy(),
             "payload_len": self._len[:n].copy(),
         }
@@ -69,5 +90,6 @@ class PayloadArena:
         arena._off[: len(off)] = off
         ln = np.asarray(arrays["payload_len"], np.int64)
         arena._len[: len(ln)] = ln
-        arena._blob = bytearray(np.asarray(arrays["payload_blob"], np.uint8).tobytes())
+        arena._blob = np.asarray(arrays["payload_blob"], np.uint8).copy()
+        arena._blob_len = len(arena._blob)
         return arena
