@@ -243,6 +243,8 @@ def bench_glove():
             max_segment_size=seg, pq_m=20, pq_k=256, graph_degree=32,
             graph_build_breadth=64, local_worker_threads=1,
             graph_build_mode="skip_for_flat",
+            sealed_search_mode=SEALED_MODE,  # exact (default) or flat
+            pq_build_mode=PQ_BUILD,
         )
     )
     # Pre-load all but one segment's worth (sealed via the background
