@@ -30,6 +30,7 @@ import json
 import os
 import pickle
 import threading
+import time
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -99,6 +100,123 @@ class IndexStorage:
         ALL participants (threads here, processes for DiskStorage) — the
         analogue of an FDB transaction over the queue subspace."""
         raise NotImplementedError
+
+    def queue_wake(self, name: str, qname: str) -> "QueueWake":
+        """Wake channel for the queue — the analogue of the reference's FDB
+        watches (tasks/SegmentBuildWorker.java:42-53 blocks on a watch, no
+        polling): producers `.notify()` after any journal write that could
+        unblock a waiter; consumers `.wait(timeout)` block until a notify or
+        timeout. A spurious wake is always safe (waiters re-read the journal
+        under the lock), so implementations only guarantee no LOST wakes for
+        notifies issued after the waiter's last journal read. Base fallback:
+        a plain timeout sleep (degrades to polling)."""
+        return _SleepWake()
+
+
+class QueueWake:
+    """Interface for cross-participant queue wake channels (see
+    IndexStorage.queue_wake)."""
+
+    def notify(self) -> None:
+        raise NotImplementedError
+
+    def wait(self, timeout: float) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class _SleepWake(QueueWake):
+    """Timeout-only channel: no cross-participant signaling; callers degrade
+    to bounded polling (their deadline math still caps latency)."""
+
+    _POLL_S = 0.05
+
+    def notify(self) -> None:
+        pass
+
+    def wait(self, timeout: float) -> None:
+        time.sleep(max(0.0, min(timeout, self._POLL_S)))
+
+
+class _CondWake(QueueWake):
+    """In-process channel (MemoryStorage: all queue participants are threads
+    of one process): a plain Condition, exact wakeups, zero polling."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+
+    def notify(self) -> None:
+        with self._cond:
+            self._cond.notify_all()
+
+    def wait(self, timeout: float) -> None:
+        with self._cond:
+            self._cond.wait(max(0.0, timeout))
+
+
+class _FifoWake(QueueWake):
+    """Cross-PROCESS channel for DiskStorage: a POSIX FIFO next to the queue
+    journal. Waiters hold the FIFO open O_RDWR (so reader-side EOF can never
+    occur) and block in select(); notifiers open O_WRONLY|O_NONBLOCK and
+    write one byte (ENXIO = nobody waiting = nothing to do). Wake bytes
+    persist in the FIFO until some waiter drains them, so a notify issued
+    while a waiter is between its journal read and its select() is not lost.
+    All woken waiters re-read the journal, so wake-one vs wake-all does not
+    affect correctness — at most a different process claims the task."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._rfd: Optional[int] = None
+        self._lock = threading.Lock()
+
+    def _reader_fd(self) -> int:
+        with self._lock:
+            if self._rfd is None:
+                if not os.path.exists(self._path):
+                    try:
+                        os.mkfifo(self._path)
+                    except FileExistsError:
+                        pass
+                self._rfd = os.open(self._path, os.O_RDWR | os.O_NONBLOCK)
+            return self._rfd
+
+    def notify(self) -> None:
+        try:
+            fd = os.open(self._path, os.O_WRONLY | os.O_NONBLOCK)
+        except (FileNotFoundError, OSError):
+            return  # no FIFO yet / no waiter holds it open: nobody to wake
+        try:
+            os.write(fd, b"w")
+        except (BlockingIOError, BrokenPipeError, OSError):
+            pass  # FIFO buffer full = wakes already pending
+        finally:
+            os.close(fd)
+
+    def wait(self, timeout: float) -> None:
+        import select
+
+        try:
+            fd = self._reader_fd()
+        except OSError:
+            time.sleep(max(0.0, min(timeout, 0.05)))
+            return
+        r, _, _ = select.select([fd], [], [], max(0.0, timeout))
+        if r:
+            try:
+                os.read(fd, 4096)  # drain; peers that raced us see EAGAIN
+            except (BlockingIOError, OSError):
+                pass
+
+    def close(self) -> None:
+        with self._lock:
+            if self._rfd is not None:
+                try:
+                    os.close(self._rfd)
+                except OSError:
+                    pass
+                self._rfd = None
 
 
 class MemoryStorage(IndexStorage):
@@ -194,6 +312,12 @@ class MemoryStorage(IndexStorage):
             if not hasattr(self, "_qlocks"):
                 self._qlocks = {}
             return self._qlocks.setdefault((name, qname), threading.RLock())
+
+    def queue_wake(self, name, qname):
+        with self._lock:
+            if not hasattr(self, "_qwakes"):
+                self._qwakes = {}
+            return self._qwakes.setdefault((name, qname), _CondWake())
 
 
 class DiskStorage(IndexStorage):
@@ -500,6 +624,15 @@ class DiskStorage(IndexStorage):
         return _FileLock(
             os.path.join(self._idx(name), f"queue_{qname}.lock")
         )
+
+    def queue_wake(self, name, qname):
+        try:
+            os.makedirs(self._idx(name), exist_ok=True)
+            return _FifoWake(
+                os.path.join(self._idx(name), f"queue_{qname}.wake")
+            )
+        except OSError:  # exotic fs without FIFO support: degrade to polling
+            return _SleepWake()
 
 
 class _FileLock:

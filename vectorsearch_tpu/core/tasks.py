@@ -389,11 +389,22 @@ class SharedTaskQueue:
     (fcntl.flock for DiskStorage), so any number of producer and worker
     PROCESSES can share one queue. Leases use wall-clock time (the shared
     clock across processes); expired leases make tasks re-claimable with
-    attempts+1. Claims poll at 50 ms — task rates are background-level.
+    attempts+1.
+
+    Claims BLOCK on the storage wake channel (persist.QueueWake — a POSIX
+    FIFO for DiskStorage, a Condition for MemoryStorage), the analogue of
+    the reference blocking on FDB watches (tasks/SegmentBuildWorker.java:
+    42-53): idle waiters cost zero journal reads; every journal mutation
+    notifies. The only timed wakeups are EXACT edges computed from the
+    journal itself (the soonest future visible_at / lease_deadline — events
+    with no producer to notify) plus a safety resync (missed-notify bound:
+    a notifier crashing between write and notify).
 
     Shutdown sentinels (random-key `enqueue`) stay process-local: they are
     addressed to THIS process's worker threads, never to other processes.
     """
+
+    _RESYNC_S = 5.0  # safety poll bound; wake channel makes real latency ~ms
 
     def __init__(self, name: str, storage, index_name: str, qname: str,
                  default_ttl_s: float = 300.0, default_throttle_s: float = 1.0):
@@ -403,6 +414,7 @@ class SharedTaskQueue:
         self._qname = qname
         self.default_ttl_s = default_ttl_s
         self.default_throttle_s = default_throttle_s
+        self._wake = storage.queue_wake(index_name, qname)
         self._local = TaskQueue(f"{name}/local")  # sentinels only
         self._closed = False
 
@@ -434,10 +446,13 @@ class SharedTaskQueue:
                 "claim_id": None,
             })
             self._write(tasks)
-            return True
+        self._wake.notify()
+        return True
 
     def enqueue(self, payload: Any) -> str:
-        return self._local.enqueue(payload)  # sentinels: process-local
+        cid = self._local.enqueue(payload)  # sentinels: process-local
+        self._wake.notify()  # a waiter may be blocked on the shared channel
+        return cid
 
     # -- consumer -------------------------------------------------------------
 
@@ -449,6 +464,7 @@ class SharedTaskQueue:
             local = self._local.await_and_claim(timeout=0)
             if local is not None:
                 return local
+            next_edge_s = self._RESYNC_S
             with self._storage.queue_lock(self._index_name, self._qname):
                 tasks = self._read()
                 now = time.time()
@@ -465,11 +481,22 @@ class SharedTaskQueue:
                             task_payload_from_json(rec["payload"]),
                             rec["attempts"], cid,
                         )
+                # nothing claimable: the next TIMED event is the soonest
+                # future visible_at (throttle) or lease_deadline (expiry) —
+                # neither has a live producer to notify the channel
+                for rec in tasks:
+                    for edge in (rec.get("visible_at", 0.0),
+                                 rec.get("lease_deadline", 0.0)):
+                        if edge > now:
+                            next_edge_s = min(next_edge_s, edge - now)
             if self._closed:
                 return None
-            if deadline is not None and time.monotonic() >= deadline:
-                return None
-            time.sleep(0.05)
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return None
+                next_edge_s = min(next_edge_s, remaining)
+            self._wake.wait(next_edge_s)
 
     def _finish_shared(self, claim_id: str, requeue: bool) -> None:
         with self._storage.queue_lock(self._index_name, self._qname):
@@ -488,6 +515,9 @@ class SharedTaskQueue:
                 else:
                     out.append(rec)
             self._write(out)
+        # completion unblocks await_queue_empty; requeue (after throttle)
+        # unblocks claimers — their edge-wait handles the visible_at delay
+        self._wake.notify()
 
     # -- inspection -----------------------------------------------------------
 
@@ -507,13 +537,18 @@ class SharedTaskQueue:
             with self._storage.queue_lock(self._index_name, self._qname):
                 if not self._read():
                     return True
-            if deadline is not None and time.monotonic() >= deadline:
-                return False
-            time.sleep(0.05)
+            wait_s = self._RESYNC_S
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                wait_s = min(wait_s, remaining)
+            self._wake.wait(wait_s)
 
     def close(self) -> None:
         self._closed = True
         self._local.close()
+        self._wake.notify()  # unblock waiters so they observe _closed
 
 
 # ---------------------------------------------------------------------------
