@@ -27,7 +27,9 @@ def run_chain(label, fn, q, args, reps=REPS):
     def chained(q, *args):
         def body(i, acc):
             out = fn(q + acc * 1e-30, *args)
-            return acc + jnp.sum(out.astype(jnp.float32)) * 0.0 + 1e-9
+            # 1e-32 (NOT 0.0): a zero multiplier lets XLA DCE the whole
+            # chain — tile sweeps once read 0.0 ms for a 1M-row scan
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-32
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

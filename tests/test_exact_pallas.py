@@ -129,3 +129,70 @@ def test_fused_knn_candidates_match_exact_path(rng):
     np.testing.assert_allclose(
         np.asarray(d2_f)[both], np.asarray(d2_e)[both], rtol=1e-3, atol=1e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Scored pool + gather-free finalize: the exact path's re-rank replacement
+# (ops/traversal.exact_finalize). Distances must be TRUE distances — there
+# is no downstream re-score to absorb kernel rounding.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("metric", ["L2", "COSINE"])
+def test_scored_pool_finalize_matches_numpy_distances(rng, metric):
+    from vectorsearch_tpu.ops import traversal as tr
+
+    n, d, qn, k = 2048, 48, 16, 8
+    centers = rng.normal(size=(8, d)) * 10
+    x = (centers[rng.integers(0, 8, n)] + rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    q = (centers[rng.integers(0, 8, qn)] + rng.normal(size=(qn, d))).astype(
+        np.float32
+    )
+    valid = np.ones(n, bool)
+    ps, pi = pe.exact_pool_scored_pallas(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        ef_buf=64, metric=metric, tile_n=512, interpret=True,
+    )
+    sc, di, iv = tr.exact_finalize(jnp.asarray(q), ps, pi, k, metric)
+    sc, di, iv = np.asarray(sc), np.asarray(di), np.asarray(iv)
+    assert iv.shape == (qn, k) and (iv >= 0).all()
+    for i in range(qn):
+        if metric == "COSINE":
+            xn = np.linalg.norm(x[iv[i]], axis=1)
+            sim = (x[iv[i]] @ q[i]) / (xn * np.linalg.norm(q[i]))
+            np.testing.assert_allclose(sc[i], sim, rtol=0, atol=2e-4)
+            np.testing.assert_allclose(di[i], 1.0 - sim, rtol=0, atol=2e-4)
+        else:
+            true_d = np.linalg.norm(x[iv[i]] - q[i], axis=1)
+            # split-bf16 scores: ~2^-16 relative on the rank score
+            np.testing.assert_allclose(di[i], true_d, rtol=3e-3, atol=3e-3)
+            np.testing.assert_allclose(sc[i], -di[i], rtol=0, atol=0)
+        # ordering equals the true-distance ordering of the returned rows
+        assert (np.diff(di[i]) >= -1e-5).all()
+
+
+def test_finalize_contract_padding_and_self_distance(rng):
+    """-1 pool slots -> (-inf, +inf, -1); a query equal to a row gets
+    distance ~0; k > pool width truncates like exact_rerank."""
+    from vectorsearch_tpu.ops import traversal as tr
+
+    n, d = 600, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = x[:3]
+    valid = np.zeros(n, bool)
+    valid[:2] = True  # only rows 0,1 alive -> most pool slots empty
+    ps, pi = pe.exact_pool_scored_pallas(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        ef_buf=8, metric="L2", tile_n=512, interpret=True,
+    )
+    sc, di, iv = map(np.asarray, tr.exact_finalize(jnp.asarray(q), ps, pi, 5, "L2"))
+    assert sc.shape == (3, 5)
+    assert di[0][0] == pytest.approx(0.0, abs=1e-2)
+    assert iv[0][0] == 0 and iv[1][0] == 1
+    assert (iv[:, 2:] == -1).all()  # only 2 alive rows exist
+    assert np.isinf(di[:, 2:]).all() and (sc[:, 2:] == -np.inf).all()
+    # k > C truncates to C (exact_rerank contract)
+    sc2, di2, iv2 = tr.exact_finalize(jnp.asarray(q), ps, pi, 99, "L2")
+    assert sc2.shape[1] == 8

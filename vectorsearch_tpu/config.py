@@ -284,7 +284,7 @@ class VectorIndexConfig:
     #     Q*(M*K)*N MACs to approximate what the raw matmul computes in
     #     Q*D*N (32x less at M=16,K=256,D=128) — on a 16 GB-HBM chip whose
     #     raw vectors are device-resident for the re-rank anyway, exhaustive
-    #     MXU scan IS the fast path (core/index._sealed_exact_pool). Recall
+    #     MXU scan IS the fast path (core/index._sealed_exact_pool_scored). Recall
     #     is exact up to bf16-multiply ranking noise at the (oversampled)
     #     pool boundary. Prefer "flat" only when segments outgrow the
     #     raw-vector HBM budget (codes are 16 B/row vs 4*D B/row).

@@ -141,10 +141,11 @@ def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("ef_buf", "metric"))
-def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
-    """Exact-mode candidate pool (config.sealed_search_mode="exact"): rank
-    ALL rows with one default-precision MXU matmul on the raw device-resident
-    vectors (kept there for the re-rank anyway) and take the approx top-ef.
+def _sealed_exact_pool_scored(q, vectors, valid, *, ef_buf, metric):
+    """Exact-mode candidate pool WITH its rank scores
+    (config.sealed_search_mode="exact"): rank ALL rows with an MXU matmul on
+    the raw device-resident vectors and take the approx top-ef ->
+    (scores f32[Q, ef], rows i32[Q, ef]).
 
     Why this beats the ADC scan on TPU: the one-hot ADC matmul spends
     Q*(M*K)*N MACs to APPROXIMATE the ranking the raw matmul computes
@@ -155,30 +156,33 @@ def _sealed_exact_pool(q, vectors, valid, *, ef_buf, metric):
     one HBM pass at full MXU utilization). PQ/ADC ("flat" mode) remains the
     right trade when segments outgrow the raw-vector HBM budget.
 
-    Because the scan itself is near-exact (bf16 multiply rounding only), the
-    pool only needs to cover the re-rank width plus slack — NOT the
-    recall-driven efSearch a lossy scan needs — so the dispatcher sizes
-    ef_buf from per_seg_limit and the [Q, ef] re-rank gather stays tiny.
+    The pool's approx top-k is exact mode's ONLY recall loss (the scan is a
+    true ranking). recall_target=0.99 at a 2k-wide pool is the measured
+    sweet spot on v5e: 0.9994 recall@10 at ~5.5 ms/512-batch over 1M rows,
+    while 0.999 explodes the reduction (64-wide: 100 ms, 18x) and 0.95
+    loses a true neighbor ~1/100 queries. Callers pass `valid=alive` (not
+    exists): excluding tombstones from an EXACT ranking is equivalent to
+    dropping them at re-rank, and it removes the need for pool slack.
     efSearch/beam have no exploration counterpart here (documented with the
-    flat ef contract in config.flat_ef_semantics)."""
+    flat ef contract in config.flat_ef_semantics).
+
+    The scores feed ops/traversal.exact_finalize, which replaces the
+    re-rank's [Q, C, D] candidate gather (~15 ns/element on TPU, formerly
+    the dominant exact-path cost) with per-query algebra — hence HIGHEST
+    matmul precision here and the split-bf16 passes in the Pallas kernel:
+    there is no downstream re-score to absorb rounding."""
     if pallas_exact.use_fused_exact_pool(
         vectors.shape[0], vectors.shape[1], ef_buf
     ):
-        # fused scan + in-VMEM binned pool: never materializes the [Q, N]
-        # score matrix in HBM (ops/pallas/exact.py)
-        return pallas_exact.exact_pool_topk_pallas(
+        return pallas_exact.exact_pool_scored_pallas(
             q, vectors, valid, ef_buf=ef_buf, metric=metric
         )
-    scores = distance_ops.pairwise_rank_scores(q, vectors, valid, metric)
-    # The pool's approx top-k is exact mode's ONLY recall loss (the scan is a
-    # true ranking). recall_target=0.99 at a 2k-wide pool is the measured
-    # sweet spot on v5e: 0.9994 recall@10 at ~5.5 ms/512-batch over 1M rows,
-    # while 0.999 explodes the reduction (64-wide: 100 ms, 18x) and 0.95
-    # loses a true neighbor ~1/100 queries. Callers pass `valid=alive` (not
-    # exists): excluding tombstones from an EXACT ranking is equivalent to
-    # dropping them at re-rank, and it removes the need for pool slack.
+    scores = distance_ops.pairwise_rank_scores(
+        q, vectors, valid, metric, precision=jax.lax.Precision.HIGHEST
+    )
     neg, idx = jax.lax.approx_max_k(scores, ef_buf, recall_target=0.99)
-    return jnp.where(neg > -jnp.inf, idx.astype(jnp.int32), -1)
+    ok = neg > -jnp.inf
+    return jnp.where(ok, neg, -jnp.inf), jnp.where(ok, idx.astype(jnp.int32), -1)
 
 
 @jax.jit
@@ -220,6 +224,15 @@ def _sealed_rerank_slots(q, vectors, alive, cand_idx, slot_base, *, rr, metric):
     return sc, di, iv, slots
 
 
+@functools.partial(jax.jit, static_argnames=("rr", "metric"))
+def _sealed_finalize_slots(q, pool_scores, pool_idx, slot_base, *, rr, metric):
+    """Phase 3 for the exact path: gather-free finalize + segment-slot plane
+    (see traversal_ops.exact_finalize)."""
+    sc, di, iv = traversal_ops.exact_finalize(q, pool_scores, pool_idx, rr, metric)
+    slots = jnp.where(iv >= 0, jnp.int32(slot_base), -1)
+    return sc, di, iv, slots
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -249,13 +262,16 @@ def _sealed_query_step(
 
     ``exact=True`` (config.sealed_search_mode="exact"): the pool is the
     approx top-ef of a direct raw-vector matmul — no PQ/ADC anywhere on the
-    query path (see _sealed_exact_pool for the MXU-work argument).
+    query path (see _sealed_exact_pool_scored for the MXU-work argument).
     """
     if exact:
-        cand_idx = _sealed_exact_pool(
+        # scored pool + algebraic finalize: no re-rank gather (the pool's
+        # near-f32 scores ARE the exact ranking; see exact_finalize)
+        ps, pi = _sealed_exact_pool_scored(
             q, vectors, alive, ef_buf=ef_buf, metric=metric
         )
-    elif flat:
+        return traversal_ops.exact_finalize(q, ps, pi, rr, metric)
+    if flat:
         # Pool = the full static buffer by default (ef bucketed up to
         # ef_buf), matching the graph path's effective semantics: there too
         # the whole ef_buf candidate buffer reaches the re-rank — ef_dyn only
@@ -454,50 +470,35 @@ def _unified_sealed_query(
     (no traversal; see _sealed_query_step for the dominance argument)."""
     s_count, n, d = vectors_s.shape
     qn = q.shape[0]
-    if exact and pallas_exact.use_fused_exact_pool(s_count * n, d, ef_buf):
-        # fused scan + in-VMEM binned pool over the flattened group: never
-        # materializes the [Q, S*N] score matrix (ops/pallas/exact.py).
-        # Masked by `alive` (see the XLA branch below for the argument).
-        cand_idx = pallas_exact.exact_pool_topk_pallas(
+    if exact:
+        # scored pool over the flattened group + algebraic finalize: no
+        # re-rank gather (see _sealed_exact_pool_scored / exact_finalize).
+        # Masked by `alive`, not `exists`: an exact ranking without
+        # tombstones equals dropping them at re-rank, so the pool needs no
+        # dead-row slack.
+        ps, pi = _sealed_exact_pool_scored(
             q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
             ef_buf=ef_buf, metric=metric,
         )
-        scores, dists, gidx = traversal_ops.exact_rerank(
-            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
-            cand_idx, rr, metric,
-        )
+        scores, dists, gidx = traversal_ops.exact_finalize(q, ps, pi, rr, metric)
         seg_of = gidx // n
         vid = jnp.where(gidx >= 0, gidx - seg_of * n, -1)
         slot = jnp.where(gidx >= 0, slot_base + seg_of, -1)
         return scores, dists, vid, slot
-    if exact:
-        # direct raw-vector ranking over the whole group (no PQ/ADC);
-        # -scores is a valid "approx" distance stand-in for the traversal-
-        # free pool below (only finiteness + order are consumed). Masked by
-        # `alive`, not `exists`: an exact ranking without tombstones equals
-        # dropping them at re-rank, so the pool needs no dead-row slack.
-        approx = -distance_ops.pairwise_rank_scores(
-            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1), metric
+    approx_cols = []
+    for si in range(s_count):  # unrolled; S static per group shape
+        lut = pq_ops.build_lut(q, codebooks_s[si])
+        approx_cols.append(
+            pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si])
         )
-    else:
-        approx_cols = []
-        for si in range(s_count):  # unrolled; S static per group shape
-            lut = pq_ops.build_lut(q, codebooks_s[si])
-            approx_cols.append(
-                pq_ops.adc_scan_auto(lut, codes_s[si], exists_s[si])
-            )
-        approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
+    approx = jnp.concatenate(approx_cols, axis=1)  # [Q, S*N] global ids
 
-    if flat or exact:
+    if flat:
         # full-buffer pool by default; see _sealed_flat_pool for the ef
-        # contract (flat_strict masks to the shared dynamic ef). Exact mode's
-        # pool is its only recall loss: 0.99 at a 2k-wide pool is the v5e
-        # sweet spot (see _sealed_exact_pool).
-        neg, idx = jax.lax.approx_max_k(
-            -approx, ef_buf, recall_target=0.99 if exact else 0.95
-        )
+        # contract (flat_strict masks to the shared dynamic ef).
+        neg, idx = jax.lax.approx_max_k(-approx, ef_buf, recall_target=0.95)
         ok = jnp.isfinite(neg)
-        if flat_strict and not exact:  # ef has no exact-mode counterpart
+        if flat_strict:
             ok = ok & (
                 jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
                 < jnp.asarray(ef_dyn, jnp.int32)
@@ -874,7 +875,7 @@ class VectorIndex:
             and self.config.global_task_queue_config is None
             and self.build_queue.has_visible_unclaimed_tasks()
         ):
-            logger.warning(
+            LOG.warning(
                 "await_indexing_complete() called with localWorkerThreads=0 "
                 "and no global task queue: nothing in this process will "
                 "claim build tasks; this call blocks until an external "
@@ -1021,7 +1022,7 @@ class VectorIndex:
         mode_cfg = self.config.sealed_search_mode
         flat = mode_cfg == "flat" and params.mode == Mode.BEST_FIRST
         # Exact mode (sealed_search_mode="exact"): direct raw-vector matmul
-        # pool, no PQ/ADC on the query path (see _sealed_exact_pool).
+        # pool, no PQ/ADC on the query path (see _sealed_exact_pool_scored).
         exact = mode_cfg == "exact" and params.mode == Mode.BEST_FIRST
         flat_strict = self.config.flat_ef_semantics == "strict"
         # Breakdown sampling (reference records pq_scan/traversal/rerank per
@@ -1417,17 +1418,26 @@ class VectorIndex:
         if exact:
             # exact mode's scan phase is the raw matmul; recorded under the
             # reference's pq_scan instrument (it IS the scan phase)
-            cand_idx = _sealed_exact_pool(
+            ps, pi = _sealed_exact_pool_scored(
                 qd, seg.vectors_dev, seg.alive_dev,
                 ef_buf=ef_buf, metric=self.config.metric,
             )
-            jax.block_until_ready(cand_idx)
+            jax.block_until_ready((ps, pi))
             t1 = time.monotonic()
             record(
                 "vectorsearch.query.pq_scan_ms", (t1 - t0) * 1000.0
             )
             record("vectorsearch.query.graph_traversal_ms", 0.0)
-        elif flat:
+            entry = _sealed_finalize_slots(
+                qd, ps, pi, slot_base, rr=rr, metric=self.config.metric
+            )
+            jax.block_until_ready(entry)
+            record(
+                "vectorsearch.query.rerank_ms",
+                (time.monotonic() - t1) * 1000.0,
+            )
+            return entry
+        if flat:
             cand_idx = _sealed_flat_pool(
                 qd, self.caches.get_codebook(seg), seg.codes_dev,
                 seg.exists_dev,
@@ -1547,17 +1557,20 @@ class VectorIndex:
             tuned_ef, _tb = self._auto_tune(seg, k, params)
             if self.config.sealed_search_mode == "exact" or _pqless(seg):
                 ef_buf = min(_bucket(max(2 * k, 16)), seg.cap_pad)
-                cand_idx = _sealed_exact_pool(
+                ps, pi = _sealed_exact_pool_scored(
                     qd, seg.vectors_dev, seg.alive_dev,
                     ef_buf=ef_buf, metric=self.config.metric,
                 )
-            else:
-                ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
-                cand_idx = _sealed_flat_pool(
-                    qd, self.caches.get_codebook(seg), seg.codes_dev,
-                    seg.exists_dev, jnp.int32(tuned_ef), ef_buf=ef_buf,
-                    flat_strict=self.config.flat_ef_semantics == "strict",
+                scores, dists, idx = traversal_ops.exact_finalize(
+                    qd, ps, pi, min(limit, ef_buf), self.config.metric
                 )
+                return scores, dists, idx, seg
+            ef_buf = min(_bucket(max(tuned_ef, k)), seg.cap_pad)
+            cand_idx = _sealed_flat_pool(
+                qd, self.caches.get_codebook(seg), seg.codes_dev,
+                seg.exists_dev, jnp.int32(tuned_ef), ef_buf=ef_buf,
+                flat_strict=self.config.flat_ef_semantics == "strict",
+            )
             scores, dists, idx = traversal_ops.exact_rerank(
                 qd, seg.vectors_dev, seg.alive_dev, cand_idx,
                 min(limit, ef_buf), self.config.metric,

@@ -78,23 +78,29 @@ def pairwise_rank_scores(
     x: jax.Array,  # f32[N, D]
     valid: jax.Array,  # bool[N]
     metric: str = "L2",
+    precision=None,
 ) -> jax.Array:
     """Masked, higher-is-better RANKING scores for the exact sealed scan
-    (config.sealed_search_mode="exact"): ONE default-precision MXU matmul
-    (bf16 multiplies, f32 accumulation) with no [Q, N] epilogue beyond the
+    (config.sealed_search_mode="exact"): ONE MXU matmul (default precision:
+    bf16 multiplies, f32 accumulation) with no [Q, N] epilogue beyond the
     validity mask.
 
-    Only ORDER matters here — the consumer re-scores its small candidate
-    pool with the HIGHEST-precision kernels above — so per-query-constant
-    terms are dropped and no sqrt is taken:
+    Per-query-constant terms are dropped and no sqrt is taken:
       L2     -> 2 q.x - ||x||^2   (= ||q||^2 - dist^2 up to a per-query shift)
       COSINE -> (q.x) / ||x||     (the per-query 1/||q|| > 0 factor dropped;
                 zero-norm rows score 0.0, the reference's convention)
     Invalid rows -> -inf.
+
+    `precision`: pass jax.lax.Precision.HIGHEST when the scores feed
+    ops/traversal.exact_finalize (the gather-free re-rank reconstructs TRUE
+    distances from these values, so bf16 rounding would reach the results);
+    leave None when a downstream exact_rerank re-scores the pool anyway.
     """
     q = q.astype(jnp.float32)
     x = x.astype(jnp.float32)
-    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)  # [Q, N]
+    cross = jnp.dot(
+        q, x.T, preferred_element_type=jnp.float32, precision=precision
+    )  # [Q, N]
     if metric == "COSINE":
         xn = jnp.sqrt(jnp.sum(x * x, axis=-1))[None, :]  # [1, N]
         s = jnp.where(xn == 0.0, 0.0, cross / jnp.where(xn == 0.0, 1.0, xn))

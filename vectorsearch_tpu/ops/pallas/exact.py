@@ -1,7 +1,7 @@
 """Fused exact-scan top-pool kernel: raw-vector MXU scan + in-VMEM binned
 reduction, never materializing the [Q, N] score matrix in HBM.
 
-The XLA exact pool (core/index._sealed_exact_pool) is HBM-bound on the score
+The XLA exact pool (core/index._sealed_exact_pool_scored) is HBM-bound on the score
 matrix: the matmul writes f32[Q, N] (2 GB at Q=512, N=1M) and approx_max_k
 reads it straight back — ~4 GB of pure intermediate traffic against the
 512 MB of actual input. This kernel keeps each [Q, TILE_N] score tile in
@@ -40,68 +40,97 @@ _BINS = 128  # one lane row of bins per tile
 MIN_ROWS = 16_384
 
 
-def _auto_tile(qp: int, d: int, requested: int | None) -> int:
-    """Largest N-tile whose per-step VMEM footprint fits: the [Qp, T] f32
-    score tile (plus one temp) dominates; x tiles are double-buffered."""
+def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
+    """(tile, chunk): the N-rows per grid step and the score sub-chunk the
+    kernel loops over inside a step. The [Qp, CHUNK] f32 score block (plus
+    one temp) caps chunk; the double-buffered f32 x tile (plus one chunk's
+    bf16 hi/lo split) caps tile. Bigger tiles amortize the ~5 us fixed cost
+    of a grid step (977 steps at tile=1024 measured 6 ms for ~1.3 ms of
+    VPU+MXU work); the in-kernel chunk loop keeps VMEM flat while doing it."""
     budget = 11 * 1024 * 1024
-    for t in (4096, 2048, 1024, 512):
+    for t in (8192, 4096, 2048, 1024, 512):
         if requested is not None and t != requested:
             continue
-        need = 2 * (qp * t * 4) + 2 * t * d * 6 + qp * d * 2
+        c = min(t, 1024)
+        need = 2 * (qp * c * 4) + 2 * t * d * 4 + c * d * 4 + qp * d * 8
         if need <= budget:
-            return t
-    return 512
+            return t, c
+    return 512, 512
 
 
 def _pool_kernel(
-    q_ref, x_ref, valid_ref, outs_ref, outi_ref, *, tile_n, n_total, metric
+    q_ref, x_ref, valid_ref, outs_ref, outi_ref,
+    *, tile_n, chunk, bins, metric,
 ):
-    """One grid step: scores of a [Qp, TILE_N] tile -> per-bin (max, argmax).
+    """One grid step: scores of a [Qp, TILE_N] tile -> per-bin (max, argmax),
+    looping over CHUNK-column sub-blocks so the score block stays small.
 
-    q_ref:     bf16[Qp, D]   (whole batch, VMEM-resident across steps)
+    q_ref:     f32[Qp, D]    (whole batch, VMEM-resident across steps)
     x_ref:     f32[TILE_N, D]
-    valid_ref: i32[1, TILE_N] (1 = alive)
-    outs_ref:  bf16[Qp, BINS] per-bin max RANKING score (higher = closer)
-    outi_ref:  i32[Qp, BINS]  global row id of each bin max
+    valid_ref: i32[1, TILE_N] (1 = alive; wrapper pads the tail with 0s, so
+               the garbage columns of a non-divisible last tile never win)
+    outs_ref:  f32[Qp, BINS_T] per-bin max RANKING score (higher = closer)
+    outi_ref:  i32[Qp, BINS_T] global row id of each bin max
+
+    Precision: q and each x chunk are split hi/lo into bf16 and crossed in
+    three MXU passes (hi*hi + hi*lo + lo*hi, f32 accumulation) — ~2^-16
+    relative error on the scores vs bf16's 2^-8. The scores leave the kernel
+    and ARE the final ranking + reconstructed distances (exact_finalize):
+    there is no re-rank gather behind them to absorb rounding. The dropped
+    lo*lo term and the MXU time of the extra passes are both ~negligible
+    (the kernel is step-overhead/VPU-bound, not MXU-bound).
     """
     nt = pl.program_id(0)
-    xf = x_ref[:]
-    # bf16 multiplies, f32 accumulation — same rank precision as the XLA
-    # path's default-precision matmul (ops/distance.pairwise_rank_scores)
-    cross = jax.lax.dot_general(
-        q_ref[:], xf.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Qp, T]
-    # the column term comes from the VMEM-resident tile: zero extra HBM reads
-    if metric == "COSINE":
-        xn2 = jnp.sum(xf * xf, axis=1)[None, :]  # [1, T]
-        inv = jnp.where(
-            xn2 == 0.0, 0.0, jax.lax.rsqrt(jnp.where(xn2 == 0.0, 1.0, xn2))
-        )
-        s = cross * inv
-    else:
-        s = 2.0 * cross - jnp.sum(xf * xf, axis=1)[None, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + nt * tile_n
-    # col >= n_total also kills the garbage tail of a non-divisible last
-    # tile (Pallas pads boundary block loads with undefined values)
-    s = jnp.where((valid_ref[:] != 0) & (col < n_total), s, -jnp.inf)
+    qf = q_ref[:]
+    qhi = qf.astype(jnp.bfloat16)
+    qlo = (qf - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
 
-    # Running (max, arg) over static lane-aligned [Qp, BINS] column slices:
-    # bin b = columns {t*BINS + b}. Pure elementwise VPU work — a
-    # [Qp, T/BINS, BINS] reshape + axis-1 reduce compiles to cross-lane
-    # shuffles in Mosaic and measured ~2.5x slower end-to-end.
-    tb = tile_n // _BINS
-    m = s[:, :_BINS]
-    a = jnp.zeros_like(m, dtype=jnp.int32)
-    for t in range(1, tb):
-        st = s[:, t * _BINS : (t + 1) * _BINS]
-        better = st > m
-        m = jnp.where(better, st, m)
-        a = jnp.where(better, t, a)
+    m = jnp.full((qf.shape[0], bins), -jnp.inf, dtype=jnp.float32)
+    a = jnp.zeros(m.shape, dtype=jnp.int32)
+    g = 0  # linear index of the [Qp, BINS_T] column slice within the tile
+    for c in range(tile_n // chunk):
+        xf = x_ref[c * chunk : (c + 1) * chunk, :]
+        xhi = xf.astype(jnp.bfloat16)
+        xlo = (xf - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cross = jax.lax.dot_general(
+            qhi, xhi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        cross += jax.lax.dot_general(
+            qhi, xlo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        cross += jax.lax.dot_general(
+            qlo, xhi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # [Qp, CHUNK]
+        # the column term comes from the VMEM-resident tile: no HBM reads
+        if metric == "COSINE":
+            xn2 = jnp.sum(xf * xf, axis=1)[None, :]  # [1, CHUNK]
+            inv = jnp.where(
+                xn2 == 0.0, 0.0,
+                jax.lax.rsqrt(jnp.where(xn2 == 0.0, 1.0, xn2)),
+            )
+            s = cross * inv
+        else:
+            s = 2.0 * cross - jnp.sum(xf * xf, axis=1)[None, :]
+        vc = valid_ref[0, c * chunk : (c + 1) * chunk]
+        s = jnp.where(vc[None, :] != 0, s, -jnp.inf)
+
+        # Running (max, arg) over static lane-aligned [Qp, BINS_T] column
+        # slices: bin b = columns {g*BINS_T + b}. Pure elementwise VPU work —
+        # a reshape + axis reduce compiles to cross-lane shuffles in Mosaic
+        # and measured ~2.5x slower end-to-end.
+        for t in range(chunk // bins):
+            st = s[:, t * bins : (t + 1) * bins]
+            better = st > m
+            m = jnp.where(better, st, m)
+            a = jnp.where(better, g, a)
+            g += 1
     lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    outs_ref[:] = m.astype(jnp.bfloat16)
-    outi_ref[:] = nt * tile_n + a * _BINS + lane
+    outs_ref[:] = m
+    outi_ref[:] = nt * tile_n + a * bins + lane
 
 
 @functools.partial(
@@ -115,21 +144,33 @@ def exact_bin_pool(
     tile_n: int | None = None,
     interpret: bool = False,
 ):
-    """Stage 1: fused scan + binned reduction -> (scores bf16[Q, W],
-    row ids i32[Q, W]) with W = ceil(N/tile)*128 bins. Invalid rows and the
-    padded tail can never win a bin unless the whole bin is dead (-inf)."""
+    """Stage 1: fused scan + binned reduction -> (scores f32[Q, W],
+    row ids i32[Q, W]) with W = ceil(N/tile) * 128 bins. Invalid rows and
+    the padded tail can never win a bin unless the whole bin is dead
+    (-inf)."""
     qn, d = q.shape
     n = x.shape[0]
     qp = max(8, -(-qn // 8) * 8)
-    tile = _auto_tile(qp, d, tile_n)
+    tile, chunk = _auto_tile(qp, d, tile_n)
+    # 128 bins per tile at ANY tile: W = N/(tile/128). Measured on v5e at
+    # N=1M/Q=512: stage 2 (approx_max_k over the pool) costs ~15 ms at
+    # W=125k f32 vs ~6 ms for the whole scan kernel — the pool WIDTH, not
+    # the scan, is the exact path's bottleneck, so keep W small. Collision
+    # loss stays negligible: at W=31k the expected top-32 pair collisions
+    # are C(32,2)/W ~ 0.016/query (recall@10 measured 1.000 at W=125k,
+    # ~0.999+ expected here).
+    bins = _BINS
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
     nn = -(-n // tile)
-    w = nn * _BINS
-    valid_i = valid.astype(jnp.int32)[None, :]
+    w = nn * bins
+    # explicit zero-padding of the mask to a whole number of tiles: the
+    # kernel sees fully-defined valid blocks, so no per-element column-id
+    # compare is needed to kill the garbage tail of the last x block
+    valid_i = jnp.pad(valid.astype(jnp.int32), (0, nn * tile - n))[None, :]
     outs, outi = pl.pallas_call(
         functools.partial(
-            _pool_kernel, tile_n=tile, n_total=n, metric=metric
+            _pool_kernel, tile_n=tile, chunk=chunk, bins=bins, metric=metric
         ),
         grid=(nn,),
         in_specs=[
@@ -138,21 +179,62 @@ def exact_bin_pool(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((qp, _BINS), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp, _BINS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((qp, w), jnp.bfloat16),
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
             jax.ShapeDtypeStruct((qp, w), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * nn * tile * d,
-            bytes_accessed=n * d * 4 + qp * d * 2 + qp * w * 6,
+            flops=6 * qp * nn * tile * d,
+            bytes_accessed=n * d * 4 + qp * d * 4 + qp * w * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q.astype(jnp.bfloat16), x, valid_i)
+    )(q.astype(jnp.float32), x, valid_i)
     return outs[:qn], outi[:qn]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef_buf", "metric", "tile_n", "interpret")
+)
+def exact_pool_scored_pallas(
+    q: jax.Array,  # f32[Q, D]
+    x: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N]
+    *,
+    ef_buf: int,
+    metric: str = "L2",
+    tile_n: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused exact candidate pool WITH its rank scores:
+    (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
+    The scores are near-f32 rank scores (see _pool_kernel's precision note):
+    L2 -> 2 q.x - ||x||^2, COSINE -> (q.x)/||x|| — exactly the
+    ops/distance.pairwise_rank_scores conventions, so
+    ops/traversal.exact_finalize can reconstruct true distances from them
+    with no candidate-row gather."""
+    outs, outi = exact_bin_pool(
+        q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret
+    )
+    w = outs.shape[1]
+    if w <= 2 * ef_buf:
+        # few bins: full sort of the tiny pool is cheaper + exact
+        neg, pos = jax.lax.top_k(outs, min(ef_buf, w))
+        if pos.shape[1] < ef_buf:
+            pad = ef_buf - pos.shape[1]
+            neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            pos = jnp.pad(pos, ((0, 0), (0, pad)))
+    else:
+        # stage 2 over the ~8x-smaller pool: the stricter reduction that
+        # was 18x too expensive over N rows (core/index._sealed_exact_pool_scored)
+        # is cheap here, so stage 1's bin collisions stay the only loss
+        neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=0.999)
+    rows = jnp.take_along_axis(outi, pos, axis=1)
+    ok = neg > -jnp.inf
+    return jnp.where(ok, neg, -jnp.inf), jnp.where(ok, rows, -1)
 
 
 @functools.partial(
@@ -170,24 +252,10 @@ def exact_pool_topk_pallas(
 ) -> jax.Array:
     """Fused exact candidate pool -> i32[Q, ef_buf] row ids (-1 = empty).
     Drop-in for the XLA pairwise_rank_scores + approx_max_k pool."""
-    outs, outi = exact_bin_pool(
-        q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret
-    )
-    w = outs.shape[1]
-    if w <= 2 * ef_buf:
-        # few bins: full sort of the tiny pool is cheaper + exact
-        neg, pos = jax.lax.top_k(outs, min(ef_buf, w))
-        if pos.shape[1] < ef_buf:
-            pad = ef_buf - pos.shape[1]
-            neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            pos = jnp.pad(pos, ((0, 0), (0, pad)))
-    else:
-        # stage 2 over the 16-32x-smaller pool: the stricter reduction that
-        # was 18x too expensive over N rows (core/index._sealed_exact_pool)
-        # is cheap here, so stage 1's bin collisions stay the only loss
-        neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=0.999)
-    rows = jnp.take_along_axis(outi, pos, axis=1)
-    return jnp.where(neg > -jnp.inf, rows, -1)
+    return exact_pool_scored_pallas(
+        q, x, valid, ef_buf=ef_buf, metric=metric, tile_n=tile_n,
+        interpret=interpret,
+    )[1]
 
 
 def use_fused_exact_pool(n: int, d: int, ef_buf: int) -> bool:

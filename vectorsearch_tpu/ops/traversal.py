@@ -273,3 +273,55 @@ def exact_rerank(
         jnp.where(keep, top_dist, INF),
         jnp.where(keep, top_idx, -1),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def exact_finalize(
+    q: jax.Array,  # f32[Q, D] queries
+    pool_scores: jax.Array,  # f32[Q, C] rank scores of the candidates
+    pool_idx: jax.Array,  # i32[Q, C] candidate row ids (-1 padded)
+    k: int,
+    metric: str = "L2",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Final top-k from a SCORED exact pool — the gather-free replacement for
+    exact_rerank on the exact sealed path (reference re-rank contract:
+    fdb/FdbVectorIndex.java:970-1046).
+
+    exact_rerank exists to turn approximate candidate rankings (ADC / graph)
+    into exact ones, which needs the raw rows — a [Q, C, D] gather that runs
+    at ~15 ns/element on TPU and dominated the exact path. But exact mode's
+    pool scores ALREADY rank by (near-)exact distance: the scan computes
+    2 q.x - ||x||^2 (L2) / (q.x)/||x|| (COSINE) in split-bf16/f32 (see
+    ops/pallas/exact._pool_kernel and ops/distance.pairwise_rank_scores).
+    Both are strictly monotone in true distance per query, so the final
+    ordering equals exact_rerank's, and true distances follow algebraically
+    from per-QUERY terms alone:
+      L2     -> dist^2 = ||q||^2 - s      (clamped at 0)
+      COSINE -> sim    = s / ||q||        (0 when ||q|| = 0, the reference's
+                                           zero-norm convention)
+    Tombstoned rows never enter the pool (callers mask with `alive`), which
+    the invariants file records as equivalent to dropping them at re-rank.
+    Returns (scores f32[Q, k], distances f32[Q, k], indices i32[Q, k]) with
+    exact_rerank's exact output contract (-inf / +inf / -1 padding).
+    """
+    qf = q.astype(jnp.float32)
+    s = jnp.where(pool_idx >= 0, pool_scores, -INF)
+    kk = min(k, pool_idx.shape[1])
+    top_s, pos = jax.lax.top_k(s, kk)
+    top_idx = jnp.take_along_axis(pool_idx, pos, axis=1)
+    if metric == "COSINE":
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))[:, None]
+        sim = jnp.where(qn == 0.0, 0.0, top_s / jnp.where(qn == 0.0, 1.0, qn))
+        score = sim
+        dist = 1.0 - sim
+    else:
+        q2 = jnp.sum(qf * qf, axis=-1)[:, None]
+        d = jnp.sqrt(jnp.maximum(q2 - top_s, 0.0))
+        score = -d
+        dist = d
+    keep = top_s > -INF
+    return (
+        jnp.where(keep, score, -INF),
+        jnp.where(keep, dist, INF),
+        jnp.where(keep, top_idx, -1),
+    )

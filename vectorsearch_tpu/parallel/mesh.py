@@ -141,7 +141,7 @@ def sharded_flat_query(
 
     ``exact=True`` (config.sealed_search_mode="exact"): each shard's pool is
     the approx top-ef of a direct raw-vector matmul — no PQ/ADC anywhere
-    (core/index._sealed_exact_pool sharded over rows; codes/codebook
+    (core/index._sealed_exact_pool_scored sharded over rows; codes/codebook
     operands are ignored and DCEd)."""
     from vectorsearch_tpu.ops import distance as distance_ops
     from vectorsearch_tpu.ops import pq as pq_ops
@@ -151,31 +151,43 @@ def sharded_flat_query(
         n_local = vectors.shape[0]
         shard = jax.lax.axis_index(DATA_AXIS)
         local_ef = min(ef_buf, n_local)
+        local_rr = min(rr, local_ef)
         if exact:
             # alive mask (not exists): an exact ranking without tombstones
-            # equals dropping them at re-rank (core/index._sealed_exact_pool)
+            # equals dropping them at re-rank. HIGHEST precision + gather-
+            # free finalize: the shard's rank scores ARE the final ranking
+            # and distances (core/index._sealed_exact_pool_scored — rank
+            # scores are per-query-shift-invariant, so scores re-ranked
+            # across shards after the all-gather stay globally comparable).
             neg_scores = distance_ops.pairwise_rank_scores(
-                q, vectors, alive, metric
+                q, vectors, alive, metric,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            neg, idx = jax.lax.approx_max_k(
+                neg_scores, local_ef, recall_target=0.99
+            )
+            ok = neg > -jnp.inf
+            ps = jnp.where(ok, neg, -jnp.inf)
+            pi = jnp.where(ok, idx.astype(jnp.int32), -1)
+            sc, di, iv = traversal_ops.exact_finalize(
+                q, ps, pi, local_rr, metric
             )
         else:
             lut = pq_ops.build_lut(q, codebook)
             neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
-        # exact mode's pool is its only recall loss — 0.99 at a 2k-wide pool
-        # is the measured v5e sweet spot (core/index._sealed_exact_pool)
-        neg, idx = jax.lax.approx_max_k(
-            neg_scores, local_ef, recall_target=0.99 if exact else 0.95
-        )
-        ok = neg > -jnp.inf
-        if flat_strict and not exact:  # ef has no exact-mode counterpart
-            ok = ok & (
-                jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
-                < jnp.asarray(ef_dyn, jnp.int32)
+            neg, idx = jax.lax.approx_max_k(
+                neg_scores, local_ef, recall_target=0.95
             )
-        cand = jnp.where(ok, idx.astype(jnp.int32), -1)
-        local_rr = min(rr, local_ef)
-        sc, di, iv = traversal_ops.exact_rerank(
-            q, vectors, alive, cand, local_rr, metric
-        )
+            ok = neg > -jnp.inf
+            if flat_strict:
+                ok = ok & (
+                    jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+                    < jnp.asarray(ef_dyn, jnp.int32)
+                )
+            cand = jnp.where(ok, idx.astype(jnp.int32), -1)
+            sc, di, iv = traversal_ops.exact_rerank(
+                q, vectors, alive, cand, local_rr, metric
+            )
         gidx = jnp.where(iv >= 0, iv + shard * n_local, -1)
         all_s = jax.lax.all_gather(sc, DATA_AXIS, axis=1, tiled=True)
         all_d = jax.lax.all_gather(di, DATA_AXIS, axis=1, tiled=True)
