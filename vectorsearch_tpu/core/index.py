@@ -1081,9 +1081,10 @@ class VectorIndex:
                 # The exact pool only needs to cover k plus approx_max_k
                 # bucket-collision slack — NOT the recall-driven efSearch of
                 # a lossy scan, and no tombstone slack either (the scan masks
-                # by `alive`). 2k@rt0.99 is the measured v5e sweet spot; each
-                # extra pool doubling costs ~8% QPS and a 0.999 target 10x.
-                ef_buf = min(_bucket(max(2 * k, 16)), cap)
+                # by `alive`). 4k@stage2_rt=0.99 is the measured v5e sweet
+                # spot (ef=64: 7.8 ms/512-batch over 1M rows @ recall@10
+                # 0.9996; ef=32 is no faster at 0.9988; ef=128 +70%).
+                ef_buf = min(_bucket(max(4 * k, 32)), cap)
             else:
                 ef_buf = min(_bucket(max(max(t[0] for t in tuned), k)), cap)
             beam_buf = min(_bucket(max(t[1] for t in tuned), lo=8), ef_buf)
@@ -1139,12 +1140,12 @@ class VectorIndex:
                 total_codes = sum(seg.exists_count() for seg in group)
                 u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
                 if gexact:
-                    # same 2k-wide pool as the per-segment exact sizing
+                    # same 4k-wide pool as the per-segment exact sizing
                     # above; the global top-pool merged once equals the
                     # merged per-segment pools (exact ranking is true
                     # ranking), so no per-segment oversampling is needed
                     u_ef_buf = min(
-                        _bucket(max(2 * k, 16)), len(group) * cap
+                        _bucket(max(4 * k, 32)), len(group) * cap
                     )
                 else:
                     u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
@@ -1556,7 +1557,7 @@ class VectorIndex:
             self._warn_graphless_once()
             tuned_ef, _tb = self._auto_tune(seg, k, params)
             if self.config.sealed_search_mode == "exact" or _pqless(seg):
-                ef_buf = min(_bucket(max(2 * k, 16)), seg.cap_pad)
+                ef_buf = min(_bucket(max(4 * k, 32)), seg.cap_pad)
                 ps, pi = _sealed_exact_pool_scored(
                     qd, seg.vectors_dev, seg.alive_dev,
                     ef_buf=ef_buf, metric=self.config.metric,

@@ -47,10 +47,12 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
     bf16 hi/lo split) caps tile. Bigger tiles amortize the ~5 us fixed cost
     of a grid step (977 steps at tile=1024 measured 6 ms for ~1.3 ms of
     VPU+MXU work); the in-kernel chunk loop keeps VMEM flat while doing it."""
+    if requested is not None:
+        # explicit tiles bypass the budget: a VMEM overflow is a visible
+        # compile error, and sweeps need to probe past the conservative cap
+        return requested, min(requested, 1024)
     budget = 11 * 1024 * 1024
     for t in (8192, 4096, 2048, 1024, 512):
-        if requested is not None and t != requested:
-            continue
         c = min(t, 1024)
         need = 2 * (qp * c * 4) + 2 * t * d * 4 + c * d * 4 + qp * d * 8
         if need <= budget:
@@ -152,14 +154,12 @@ def exact_bin_pool(
     n = x.shape[0]
     qp = max(8, -(-qn // 8) * 8)
     tile, chunk = _auto_tile(qp, d, tile_n)
-    # 128 bins per tile at ANY tile: W = N/(tile/128). Measured on v5e at
-    # N=1M/Q=512: stage 2 (approx_max_k over the pool) costs ~15 ms at
-    # W=125k f32 vs ~6 ms for the whole scan kernel — the pool WIDTH, not
-    # the scan, is the exact path's bottleneck, so keep W small. Collision
-    # loss stays negligible: at W=31k the expected top-32 pair collisions
-    # are C(32,2)/W ~ 0.016/query (recall@10 measured 1.000 at W=125k,
-    # ~0.999+ expected here).
-    bins = _BINS
+    # One [Qp, 128*(tile/1024)] bin row per tile. 128 bins/tile at tile=4096
+    # would quarter the pool width (stage 2 is the measured bottleneck — see
+    # exact_pool_scored_pallas) but that kernel variant reliably WEDGES the
+    # Mosaic compile server-side (>9 min, twice); the 2.5x-unroll shape
+    # compiles in ~16 s. Pool-width reduction happens at stage 2 instead.
+    bins = _BINS * max(1, tile // 1024)
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
     nn = -(-n // tile)
@@ -197,7 +197,8 @@ def exact_bin_pool(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef_buf", "metric", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("ef_buf", "metric", "tile_n", "interpret", "stage2_rt"),
 )
 def exact_pool_scored_pallas(
     q: jax.Array,  # f32[Q, D]
@@ -208,6 +209,7 @@ def exact_pool_scored_pallas(
     metric: str = "L2",
     tile_n: int | None = None,
     interpret: bool = False,
+    stage2_rt: float = 0.99,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact candidate pool WITH its rank scores:
     (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
@@ -228,10 +230,13 @@ def exact_pool_scored_pallas(
             neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             pos = jnp.pad(pos, ((0, 0), (0, pad)))
     else:
-        # stage 2 over the ~8x-smaller pool: the stricter reduction that
-        # was 18x too expensive over N rows (core/index._sealed_exact_pool_scored)
-        # is cheap here, so stage 1's bin collisions stay the only loss
-        neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=0.999)
+        # stage 2 over the ~8x-smaller pool. rt=0.99 is the measured v5e
+        # sweet spot at W=125k/Q=512/N=1M: the whole exact path runs 7.2 ms
+        # at recall@10 0.9988 vs 22.1 ms at rt=0.999 (recall 1.000) — AND
+        # the rt=0.999 variant took 300 s to COMPILE (it repeatedly read as
+        # a wedged tunnel). Callers needing the last 0.1% of recall pass
+        # stage2_rt=0.999 and eat both costs knowingly.
+        neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=stage2_rt)
     rows = jnp.take_along_axis(outi, pos, axis=1)
     ok = neg > -jnp.inf
     return jnp.where(ok, neg, -jnp.inf), jnp.where(ok, rows, -1)
