@@ -127,10 +127,10 @@ def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
     (api/SearchParams.java:20-42); default keeps the full static buffer
     (config.flat_ef_semantics)."""
     lut = pq_ops.build_lut(q, codebook)
-    # The scores scan fuses negation + validity mask + bf16 cast into the
-    # Pallas kernel, so approx_max_k is its direct consumer.
-    neg_scores = pq_ops.adc_scan_scores_auto(lut, codes, exists)
-    neg, idx = jax.lax.approx_max_k(neg_scores, ef_buf, recall_target=0.95)
+    # On TPU the pool comes from the fused scan+binned-reduce kernel (the
+    # [Q, N] score matrix never exists); elsewhere from the scores scan +
+    # approx_max_k — same per-bucket-max estimator either way.
+    neg, idx = pq_ops.adc_pool_auto(lut, codes, exists, ef_buf=ef_buf)
     ok = neg > -jnp.inf
     if flat_strict:
         ok = ok & (

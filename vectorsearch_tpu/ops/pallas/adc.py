@@ -219,6 +219,196 @@ def adc_scan_scores_pallas(
     )(lut_flat, kidx, valid_i, codes)
 
 
+_BINS = 128  # one lane row of bins per 1024 rows of tile
+
+# Below this the [Q, N] scores intermediate is small enough that the plain
+# scores scan + approx_max_k wins on fixed costs (and tiny segments divide
+# into too few bins for a useful pool).
+MIN_ROWS_POOL = 16_384
+
+
+def _auto_pool_tile(
+    qp: int, mk: int, requested: int | None
+) -> tuple[int, int] | None:
+    """(tile, chunk) for the fused ADC pool kernel, or None when only
+    step-overhead-bound tiny tiles would fit (callers fall back to the
+    scores scan). The in-kernel chunk loop bounds the big temporaries
+    (codes_rep i32[chunk, MK] + onehot bf16) while the tile amortizes the
+    fixed cost of a grid step; bins = 128*(tile/1024) must divide chunk.
+
+    The budget is calibrated against a measured-good config, not a paper
+    sum of every temp: (tile=2048, chunk=256) at qp=512, mk=4096 compiles
+    and runs ~13 MB by this accounting (Mosaic reuses the compare/select
+    temps it would double-count)."""
+    if requested is not None:
+        return requested, max(requested // 8, min(requested, 256))
+    budget = 14 * 1024 * 1024
+    fixed = qp * mk * 2 + mk * 4  # resident bf16 LUT + kidx row
+    for t, c in ((2048, 256), (1024, 128)):
+        # codes_rep i32 + onehot bf16 chunk temps + score block + the
+        # double-buffered output bins
+        need = fixed + c * mk * 6 + qp * c * 4
+        need += 2 * qp * (_BINS * max(1, t // 1024)) * 8
+        if need <= budget:
+            return t, c
+    return None
+
+
+def _adc_pool_kernel(
+    lut_ref, kidx_ref, valid_ref, codes_ref, outs_ref, outi_ref,
+    *, tile_n, chunk, bins,
+):
+    """One grid step: negated ADC scores of a [Qp, TILE_N] code tile reduced
+    to per-bin (max, argmax) pairs — the exact.py binned-pool estimator
+    applied to the one-hot ADC matmul, so the [Q, N] score matrix never
+    exists anywhere (not even in HBM as bf16).
+
+    lut_ref:   bf16[Qp, M*K] pre-negated, k-major flattened (VMEM-resident)
+    kidx_ref:  i32[1, M*K] grid-invariant k-index row (see _make_onehot)
+    valid_ref: i32[1, TILE_N] (wrapper zero-pads the tail tile)
+    codes_ref: u8[TILE_N, M]
+    outs_ref:  f32[Qp, BINS_T] per-bin max negated-ADC score
+    outi_ref:  i32[Qp, BINS_T] global row id of each bin max
+
+    Precision matches the scores scan (_adc_kernel_scores): one bf16 matmul
+    pass — the pool only ranks candidates for an exact downstream re-rank.
+    """
+    nt = pl.program_id(0)
+    qp = lut_ref.shape[0]
+    m = codes_ref.shape[1]
+    lut = lut_ref[:]
+    m_run = jnp.full((qp, bins), -jnp.inf, dtype=jnp.float32)
+    a_run = jnp.zeros(m_run.shape, dtype=jnp.int32)
+    g = 0
+    for c in range(tile_n // chunk):
+        codes = codes_ref[c * chunk : (c + 1) * chunk, :].astype(jnp.int32)
+        codes_rep = pltpu.repeat(codes, kidx_ref.shape[1] // m, axis=1)
+        onehot = (codes_rep == kidx_ref[:]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            lut, onehot, dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+        )  # [Qp, CHUNK] negated scores (LUT pre-negated by the wrapper)
+        vc = valid_ref[0, c * chunk : (c + 1) * chunk]
+        s = jnp.where(vc[None, :] != 0, s, -jnp.inf)
+        for t in range(chunk // bins):
+            st = s[:, t * bins : (t + 1) * bins]
+            better = st > m_run
+            m_run = jnp.where(better, st, m_run)
+            a_run = jnp.where(better, g, a_run)
+            g += 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, m_run.shape, 1)
+    outs_ref[:] = m_run
+    outi_ref[:] = nt * tile_n + a_run * bins + lane
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def adc_bin_pool(
+    lut: jax.Array,  # f32[Q, M, K]
+    codes: jax.Array,  # u8[N, M]
+    valid: jax.Array,  # bool[N]
+    tile_n: int | None = None,
+    interpret: bool = False,
+):
+    """Stage 1: fused ADC scan + binned reduction -> (neg scores f32[Q, W],
+    row ids i32[Q, W]) with W = ceil(N/tile) * bins. Same estimator as
+    jax.lax.approx_max_k's per-bucket max (see ops/pallas/exact.py): a true
+    top-k row is lost only when two of them collide in one bin (rows
+    congruent mod bins within a tile)."""
+    qn, m, k = lut.shape
+    n = codes.shape[0]
+    qp = max(8, -(-qn // 8) * 8)
+    tc = _auto_pool_tile(qp, m * k, tile_n)
+    if tc is None:  # callers gate via use_fused_adc_pool; belt and braces
+        tc = (1024, 128)
+    tile, chunk = tc
+    bins = _BINS * max(1, tile // 1024)
+    lut_flat = (-lut.transpose(0, 2, 1).reshape(qn, m * k)).astype(jnp.bfloat16)
+    if qp != qn:
+        lut_flat = jnp.pad(lut_flat, ((0, qp - qn), (0, 0)))
+    nn = -(-n // tile)
+    w = nn * bins
+    codes = jnp.pad(codes, ((0, nn * tile - n), (0, 0)))
+    valid_i = jnp.pad(valid.astype(jnp.int32), (0, nn * tile - n))[None, :]
+    kidx = (jnp.arange(m * k, dtype=jnp.int32) // m)[None, :]
+    outs, outi = pl.pallas_call(
+        functools.partial(
+            _adc_pool_kernel, tile_n=tile, chunk=chunk, bins=bins
+        ),
+        grid=(nn,),
+        in_specs=[
+            pl.BlockSpec((qp, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * nn * tile * m * k,
+            bytes_accessed=nn * tile * m + qp * m * k * 2 + qp * w * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lut_flat, kidx, valid_i, codes)
+    return outs[:qn], outi[:qn]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef_buf", "tile_n", "interpret", "stage2_rt")
+)
+def adc_pool_pallas(
+    lut: jax.Array,  # f32[Q, M, K]
+    codes: jax.Array,  # u8[N, M]
+    valid: jax.Array,  # bool[N]
+    *,
+    ef_buf: int,
+    tile_n: int | None = None,
+    interpret: bool = False,
+    stage2_rt: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat-path candidate pool: (neg scores f32[Q, ef_buf],
+    row ids i32[Q, ef_buf]) — -inf/-1 = empty slot. Replaces the scores
+    scan + [Q, N] approx_max_k: stage 2 runs over the ~8x smaller bin pool.
+    stage2_rt mirrors the scan path's approx_max_k recall_target (0.95)."""
+    outs, outi = adc_bin_pool(
+        lut, codes, valid, tile_n=tile_n, interpret=interpret
+    )
+    w = outs.shape[1]
+    if w <= 2 * ef_buf:
+        neg, pos = jax.lax.top_k(outs, min(ef_buf, w))
+        if pos.shape[1] < ef_buf:
+            pad = ef_buf - pos.shape[1]
+            neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            pos = jnp.pad(pos, ((0, 0), (0, pad)))
+    else:
+        neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=stage2_rt)
+    rows = jnp.take_along_axis(outi, pos, axis=1)
+    ok = neg > -jnp.inf
+    return jnp.where(ok, neg, -jnp.inf), jnp.where(ok, rows, -1)
+
+
+def use_fused_adc_pool(n: int, m: int, k: int, ef_buf: int, qn: int) -> bool:
+    """Whether the fused pool kernel should replace scores-scan +
+    approx_max_k: TPU backend, production PQ shape (see adc_scan_auto's
+    sublane note), enough rows to amortize, enough bins to cover ef_buf,
+    and a large-enough auto tile that grid-step overhead doesn't dominate
+    (wide LUTs at big Q can shrink the feasible tile below usefulness)."""
+    if not is_tpu_backend():
+        return False
+    if m < 8 or m * k < 1024 or n < MIN_ROWS_POOL:
+        return False
+    qp = max(8, -(-qn // 8) * 8)
+    if _auto_pool_tile(qp, m * k, None) is None:
+        return False
+    return (-(-n // 2048)) * 2 * _BINS >= ef_buf
+
+
 def is_tpu_backend() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)

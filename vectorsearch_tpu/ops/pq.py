@@ -243,6 +243,47 @@ def adc_scan_scores_auto(
     return -adc_scan(lut, codes, valid)
 
 
+def adc_pool_auto(
+    lut: jax.Array,  # f32[Q, M, K]
+    codes: jax.Array,  # u8[N, M]
+    valid: jax.Array,  # bool[N]
+    *,
+    ef_buf: int,
+    stage2_rt: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Flat-path candidate pool: (negated ADC scores f32[Q, ef_buf],
+    row ids i32[Q, ef_buf]), -inf/-1 = empty slot, descending by score.
+
+    On TPU at production shapes this is the FUSED pool kernel
+    (ops/pallas/adc.adc_pool_pallas): the binned (max, argmax) reduction
+    happens in VMEM inside the scan, so the [Q, N] score matrix never exists
+    — HBM traffic is codes-in + an ~N/8-wide pool out, and the stage-2
+    top-k runs over that pool instead of all N columns. Elsewhere it is the
+    scores scan + jax.lax.approx_max_k (identical estimator: per-bucket
+    max)."""
+    import jax as _jax
+
+    m, k = lut.shape[1], lut.shape[2]
+    from vectorsearch_tpu.ops.pallas.adc import (
+        adc_pool_pallas,
+        use_fused_adc_pool,
+    )
+
+    if use_fused_adc_pool(codes.shape[0], m, k, ef_buf, lut.shape[0]):
+        return adc_pool_pallas(
+            lut, codes, valid, ef_buf=ef_buf, stage2_rt=stage2_rt
+        )
+    neg_scores = adc_scan_scores_auto(lut, codes, valid)
+    neg, idx = _jax.lax.approx_max_k(
+        neg_scores, ef_buf, recall_target=stage2_rt
+    )
+    ok = neg > -jnp.inf
+    return (
+        jnp.where(ok, neg, -jnp.inf),
+        jnp.where(ok, idx.astype(jnp.int32), -1),
+    )
+
+
 def zero_codebook(m: int, k: int, sub_dim: int) -> jax.Array:
     """Zero-codebook fallback for empty-segment builds
     (reference: tasks/SegmentBuildService.java:143-157)."""
