@@ -336,7 +336,9 @@ def bench_deep10m():
             max_segment_size=seg, pq_m=16, pq_k=256, graph_degree=32,
             graph_build_breadth=64, local_worker_threads=1,
             local_maintenance_worker_threads=1,
+            sealed_search_mode=SEALED_MODE,
             graph_build_mode="skip_for_flat",
+            pq_build_mode=PQ_BUILD,
             vacuum_min_deleted_ratio=0.1, vacuum_cooldown_s=5.0,
         )
     )

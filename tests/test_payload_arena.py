@@ -146,3 +146,59 @@ def test_arena_objects_api_uses_c_builder(storage, rng):
         idx.add_all(x[:5], [b"growing" * 200] * 5)
         assert planes[2] is not None  # old export still alive and readable
     idx.close()
+
+
+def test_disk_spill_memmaps_large_blobs(tmp_path, rng):
+    """DiskStorage spills arena blobs >= payload_spill_bytes to their own
+    .npy and reopens them memory-mapped: payload bytes stay out of host RAM
+    until a result touches them (the reference pages payloads from FDB on
+    demand, fdb/FdbVectorIndex.java:970-1046). Stale blob versions are swept
+    on rewrite; delete_segment removes the blob file."""
+    import os
+
+    from tests.test_index_e2e import gaussian, make_index, run_builds
+    from vectorsearch_tpu.core.persist import DiskStorage
+
+    storage = DiskStorage(str(tmp_path), payload_spill_bytes=1024)
+    idx = make_index(storage, name="spill", max_segment_size=40,
+                     payload_storage="arena")
+    x = gaussian(rng, 60)
+    payloads = [bytes([i % 251]) * 100 for i in range(60)]  # ~6 KB total
+    gids = idx.add_all(x, payloads)
+    run_builds(idx)
+    idx.checkpoint()
+    idx.close()
+
+    segdir = tmp_path / "spill" / "segments"
+    blobs = [f for f in os.listdir(segdir) if ".payblob." in f]
+    assert blobs, sorted(os.listdir(segdir))
+
+    idx2 = make_index(storage, name="spill", max_segment_size=40,
+                      payload_storage="arena")
+    seg0 = idx2.store.segments[0]
+    assert isinstance(seg0.payloads._blob, np.memmap)
+    r = idx2.query(x[13], 1)[0]
+    assert r.gid == gids[13] and r.payload == payloads[13]
+    # objects API via the C builder reads straight from the mapping
+    res = idx2.query_batch(x[:10], 1)
+    assert [rr[0].payload for rr in res] == payloads[:10]
+
+    # appending to a memmap-backed ACTIVE segment copies-on-grow (never
+    # writes the read-only mapping)
+    last = idx2.store.segments[max(idx2.store.segments)]
+    if not isinstance(last.payloads, list):
+        idx2.add_all(x[:3], [b"fresh"] * 3)
+    # rewrite sweeps stale blob versions: at most one per segment remains
+    idx2.checkpoint()
+    per_seg = {}
+    for f in os.listdir(segdir):
+        if ".payblob." in f:
+            per_seg.setdefault(f.split(".")[0], []).append(f)
+    assert all(len(v) == 1 for v in per_seg.values()), per_seg
+    idx2.close()
+
+    # delete_segment removes the spilled blob
+    storage.delete_segment("spill", 0)
+    assert not any(
+        f.startswith("0.payblob.") for f in os.listdir(segdir)
+    )

@@ -90,6 +90,12 @@ class PayloadArena:
         arena._off[: len(off)] = off
         ln = np.asarray(arrays["payload_len"], np.int64)
         arena._len[: len(ln)] = ln
-        arena._blob = np.asarray(arrays["payload_blob"], np.uint8).copy()
+        blob = np.asanyarray(arrays["payload_blob"], np.uint8)
+        # A DiskStorage-spilled blob arrives memory-mapped: keep the memmap
+        # (payloads page in on access, host RAM stays bounded). Appends are
+        # safe — copy-on-grow always allocates a NEW in-RAM array because
+        # _blob_len == len(blob) here, so the read-only mapping is never
+        # written to. Non-mapped blobs are copied out of the npz's buffer.
+        arena._blob = blob if isinstance(blob, np.memmap) else blob.copy()
         arena._blob_len = len(arena._blob)
         return arena

@@ -338,9 +338,14 @@ class DiskStorage(IndexStorage):
     """
 
     def __init__(self, root: str, fsync: bool = True,
-                 wal_group_commit_ms: float = 0.0):
+                 wal_group_commit_ms: float = 0.0,
+                 payload_spill_bytes: int = 8 * 1024 * 1024):
+        # payload_spill_bytes: arena blobs at/above this size live in their
+        # own .npy and are memory-mapped on reopen (host RAM stays bounded
+        # however large payloads grow); smaller blobs stay inside the npz.
         self.root = root
         self.fsync = bool(fsync)
+        self.payload_spill_bytes = int(payload_spill_bytes)
         self.wal_group_commit_ms = float(wal_group_commit_ms)
         self._lock = threading.RLock()
         # open append handles per WAL path; value = [file, dir_synced: bool]
@@ -433,16 +438,53 @@ class DiskStorage(IndexStorage):
             os.makedirs(d, exist_ok=True)
             npz = os.path.join(d, f"{seg_id}.npz")
             tmp = npz + ".tmp.npz"
+            arrays = dict(arrays)
+            # Large arena payload blobs SPILL to their own .npy so reopen can
+            # np.memmap them instead of loading GBs of payload bytes into
+            # host RAM (the reference pages payloads from FDB on demand,
+            # fdb/FdbVectorIndex.java:970-1046 point-reads). Crash
+            # consistency: the blob file is fully written + renamed BEFORE
+            # the npz that references its version, so offsets in a visible
+            # npz always index a complete matching blob; stale versions are
+            # swept after the npz swap.
+            blob = arrays.get("payload_blob")
+            spilled_v = None
+            if blob is not None and blob.nbytes >= self.payload_spill_bytes:
+                spilled_v = 1 + max(
+                    (v for _, v in self._blob_files(d, seg_id)), default=0
+                )
+                bp = os.path.join(d, f"{seg_id}.payblob.{spilled_v}.npy")
+                np.save(bp + ".tmp.npy", np.asarray(blob, np.uint8))
+                self._replace_synced(bp + ".tmp.npy", bp)
+                arrays.pop("payload_blob")
+                arrays["payload_blob_spill"] = np.array([spilled_v], np.int64)
             # uncompressed on purpose: savez_compressed costs ~4.3s per 100k
             # segment vs 0.06s for ~13% size — checkpoints sit on the build
             # and rotation paths
             np.savez(tmp, **arrays)
             self._replace_synced(tmp, npz)
+            for p, v in self._blob_files(d, seg_id):
+                if v != spilled_v:
+                    os.remove(p)
             pp = os.path.join(d, f"{seg_id}.payloads.pkl")
             tmpp = pp + ".tmp"
             with open(tmpp, "wb") as f:
                 pickle.dump(payloads, f)
             self._replace_synced(tmpp, pp)
+
+    @staticmethod
+    def _blob_files(d: str, seg_id: int) -> list[tuple[str, int]]:
+        """[(path, version)] of spilled payload blobs for one segment."""
+        out = []
+        prefix = f"{seg_id}.payblob."
+        for fn in os.listdir(d) if os.path.isdir(d) else ():
+            if fn.startswith(prefix) and fn.endswith(".npy") and ".tmp" not in fn:
+                try:
+                    out.append((os.path.join(d, fn),
+                                int(fn[len(prefix):-4])))
+                except ValueError:
+                    continue
+        return out
 
     def read_segment(self, name, seg_id):
         with self._lock:
@@ -451,6 +493,14 @@ class DiskStorage(IndexStorage):
                 return None
             with np.load(npz, allow_pickle=False) as z:
                 arrays = {k: z[k] for k in z.files}
+            spill = arrays.pop("payload_blob_spill", None)
+            if spill is not None:
+                bp = os.path.join(
+                    self._seg_dir(name),
+                    f"{seg_id}.payblob.{int(spill[0])}.npy",
+                )
+                # memory-mapped: payload bytes page in on result access
+                arrays["payload_blob"] = np.load(bp, mmap_mode="r")
             pp = os.path.join(self._seg_dir(name), f"{seg_id}.payloads.pkl")
             payloads = None
             if os.path.exists(pp):
@@ -460,10 +510,13 @@ class DiskStorage(IndexStorage):
 
     def delete_segment(self, name, seg_id):
         with self._lock:
+            d = self._seg_dir(name)
             for suffix in (f"{seg_id}.npz", f"{seg_id}.payloads.pkl"):
-                p = os.path.join(self._seg_dir(name), suffix)
+                p = os.path.join(d, suffix)
                 if os.path.exists(p):
                     os.remove(p)
+            for p, _v in self._blob_files(d, seg_id):
+                os.remove(p)
 
     def delete_index(self, name):
         with self._lock:
