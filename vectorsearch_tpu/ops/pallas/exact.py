@@ -52,7 +52,15 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
         # compile error, and sweeps need to probe past the conservative cap
         return requested, min(requested, 1024)
     budget = 11 * 1024 * 1024
+    # Non-lane-multiple dims (d % 128 != 0) inflate Mosaic's scoped-vmem
+    # estimate far past this accounting: at d=96/N=1M the t=4096 kernel
+    # claims 25.7 MB scoped and the whole sealed-query program fails to
+    # compile (Deep10M's shape, r3), while t<=2048 compiles everywhere
+    # probed. Cap the auto tile there; explicit tile_n can still probe past.
+    t_max = 8192 if d % 128 == 0 else 2048
     for t in (8192, 4096, 2048, 1024, 512):
+        if t > t_max:
+            continue
         c = min(t, 1024)
         need = 2 * (qp * c * 4) + 2 * t * d * 4 + c * d * 4 + qp * d * 8
         if need <= budget:
@@ -196,9 +204,28 @@ def exact_bin_pool(
     return outs[:qn], outi[:qn]
 
 
+def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
+    """Paired elementwise max over adjacent bins: [Q, W] -> [Q, W/2] per
+    halving. Equivalent to having run stage 1 with double-size bins (the
+    collision estimator degrades the same way), but as a cheap XLA
+    elementwise pass instead of the narrow-bins kernel variant that wedges
+    the Mosaic compiler (see exact_bin_pool's bins note) — shrinking the
+    stage-2 top-k input, which is the measured exact-path bottleneck."""
+    for _ in range(times):
+        w = outs.shape[1] // 2 * 2
+        s = outs[:, :w].reshape(outs.shape[0], -1, 2)
+        i = outi[:, :w].reshape(outi.shape[0], -1, 2)
+        left = s[:, :, 0] >= s[:, :, 1]
+        outs = jnp.where(left, s[:, :, 0], s[:, :, 1])
+        outi = jnp.where(left, i[:, :, 0], i[:, :, 1])
+    return outs, outi
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("ef_buf", "metric", "tile_n", "interpret", "stage2_rt"),
+    static_argnames=(
+        "ef_buf", "metric", "tile_n", "interpret", "stage2_rt", "stage2_halve",
+    ),
 )
 def exact_pool_scored_pallas(
     q: jax.Array,  # f32[Q, D]
@@ -210,6 +237,7 @@ def exact_pool_scored_pallas(
     tile_n: int | None = None,
     interpret: bool = False,
     stage2_rt: float = 0.99,
+    stage2_halve: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact candidate pool WITH its rank scores:
     (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
@@ -221,6 +249,8 @@ def exact_pool_scored_pallas(
     outs, outi = exact_bin_pool(
         q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret
     )
+    if stage2_halve:
+        outs, outi = _halve_pool(outs, outi, stage2_halve)
     w = outs.shape[1]
     if w <= 2 * ef_buf:
         # few bins: full sort of the tiny pool is cheaper + exact
