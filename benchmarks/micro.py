@@ -84,11 +84,19 @@ def main():
         neg = pq.adc_scan_scores_auto(lut, codes, valid)
         return jax.lax.approx_max_k(neg, 256, recall_target=0.95)
 
+    @jax.jit
+    def flat_pool_binned(lut, codes, valid):
+        # the r3 default on TPU: top-k fused into the scan (no [Q, N] matrix)
+        return pq.adc_pool_auto(lut, codes, valid, ef_buf=256)
+
     sec = timed(lambda: flat_pool_f32(lut512, codes, valid), reps=10)
     results.append({"metric": "flat_pool_q512_n100k_f32scan", "value": round(sec * 1e3, 3),
                     "unit": "ms"})
     sec = timed(lambda: flat_pool_fused(lut512, codes, valid), reps=10)
     results.append({"metric": "flat_pool_q512_n100k_fusedscores", "value": round(sec * 1e3, 3),
+                    "unit": "ms"})
+    sec = timed(lambda: flat_pool_binned(lut512, codes, valid), reps=10)
+    results.append({"metric": "flat_pool_q512_n100k_binnedpool", "value": round(sec * 1e3, 3),
                     "unit": "ms"})
 
     for r in results:

@@ -196,3 +196,39 @@ def test_finalize_contract_padding_and_self_distance(rng):
     # k > C truncates to C (exact_rerank contract)
     sc2, di2, iv2 = tr.exact_finalize(jnp.asarray(q), ps, pi, 99, "L2")
     assert sc2.shape[1] == 8
+
+
+def test_stage2_halve_pool_reduction(rng):
+    """stage2_halve folds adjacent bins with a paired max before the
+    stage-2 top-k: the pool still contains the true top-k (collisions only
+    between rows congruent mod bins within a tile, now at double bin size)
+    and scores stay the winners' scores."""
+    n, d, qn, k = 2048, 32, 12, 6
+    centers = rng.normal(size=(8, d)) * 10
+    x = (centers[rng.integers(0, 8, n)] + rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    q = (centers[rng.integers(0, 8, qn)] + rng.normal(size=(qn, d))).astype(
+        np.float32
+    )
+    valid = np.ones(n, bool)
+    truth = _true_topk(q, x, valid, k, "L2")
+    for h in (1, 2):
+        ps, pi = pe.exact_pool_scored_pallas(
+            jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+            ef_buf=64, metric="L2", tile_n=512, interpret=True,
+            stage2_halve=h,
+        )
+        pi = np.asarray(pi)
+        hits = np.mean(
+            [len(set(pi[i]) & set(truth[i])) / k for i in range(qn)]
+        )
+        assert hits >= 0.9, (h, hits)
+        # every returned (id, score) matches the direct rank score
+        s_ref = 2.0 * (q @ x.T) - (x * x).sum(1)[None, :]
+        ps = np.asarray(ps)
+        for i in range(qn):
+            sel = pi[i] >= 0
+            np.testing.assert_allclose(
+                ps[i][sel], s_ref[i][pi[i][sel]], rtol=1e-2, atol=1e-2
+            )

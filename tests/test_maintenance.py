@@ -401,3 +401,31 @@ def test_full_maintenance_chain_via_dispatch(storage, rng):
     for i in (25, 45):
         assert idx.query(x[i], 1)[0].gid == gids[i]
     idx.close()
+
+
+def test_vacuum_keeps_device_mirrors_resident(storage, rng):
+    """Vacuum must NOT invalidate/re-upload the device bundle (r3: the full
+    re-upload cost ~5 s per 1M-row segment through the axon tunnel and
+    collapsed Deep10M churn serving). Device state stays query-correct
+    because vacuumed rows were already tombstoned — alive=False reached the
+    device through the delete path, and re-rank drops dead rows by alive."""
+    idx = make_index(storage, max_segment_size=50, vacuum_min_deleted_ratio=0.1)
+    x = gaussian(rng, 50)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    seg = idx.store.segments[0]
+    # materialize mirrors (as a serving process would have)
+    _ = idx.query(x[0], 1)
+    idx.delete_all(gids[:20])
+    _ = idx.query(x[30], 1)  # drain pending tombstone flag updates
+    before_vec = seg._vectors_dev
+    assert before_vec is not None
+    assert idx.maintenance.vacuum_segment(0) == 20
+    # same device buffers, no invalidation
+    assert seg._vectors_dev is before_vec
+    # deleted rows stay invisible, live rows stay searchable — with the
+    # UNTOUCHED mirrors
+    res = idx.query(x[5], 5)
+    assert gids[5] not in [r.gid for r in res]
+    assert idx.query(x[30], 1)[0].gid == gids[30]
+    idx.close()

@@ -127,13 +127,20 @@ class MaintenanceService:
                 removed = int(len(doomed))
                 seg.meta.deleted_count = max(0, seg.meta.deleted_count - removed)
                 seg.meta.last_vacuum_at_ms = cfg.effective.clock_ms()
-                seg.invalidate_device()
+                # NO device invalidation: vacuum only clears rows that were
+                # already tombstoned, and their device state is already
+                # query-correct — alive=False arrived through the delete
+                # path's incremental flag updates, and a stale exists=True
+                # merely lets a dead row into a candidate pool where the
+                # re-rank drops it by `alive` (the reference's own
+                # deleted-rows-dropped-at-rerank semantics, SURVEY §7).
+                # Re-uploading the bundle here (r2 behavior) cost ~5 s per
+                # 1M-row segment through the axon tunnel and collapsed
+                # Deep10M churn serving to 32 QPS; the host arrays stay the
+                # source of truth for checkpoints and compaction either way.
                 self.store.checkpoint_segment(seg_id)
                 self.store.checkpoint_state()
                 under_half = seg.meta.count < cfg.max_segment_size / 2
-            # re-upload the device bundle HERE (maintenance thread), not on
-            # the next query's latency path
-            seg.warm_device()
             metrics.inc("vectorsearch.vacuum.run")
             metrics.inc("vectorsearch.vacuum.removed", removed)
             # Half-empty after vacuum -> look for compaction partners (:200-216)
