@@ -1,0 +1,104 @@
+"""Sweep stage2_halve for the exact path at the sift1m serving shape
+(Q=512, N=1M, d=128, ef_buf=64): each halving folds adjacent bins with a
+paired max before the stage-2 approx_max_k, shrinking its input 2x per step
+(stage 2 is the measured exact-path bottleneck; the narrow-bins kernel
+variant that would do the same in-kernel wedges the Mosaic compiler).
+One subprocess per config with a hard timeout; ground truth cached to npz
+(same protocol as sweep_exact_stage2.py).
+
+Run: python benchmarks/sweep_exact_halve.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N, D, QN, K, EF = 1_000_000, 128, 512, 10, 64
+TRUTH = "/tmp/exact_truth_1m_ef64.npz"
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+import numpy as np, jax, jax.numpy as jnp
+from vectorsearch_tpu.ops.pallas import exact as pe
+from vectorsearch_tpu.ops import traversal as tr
+
+halve, rt = {halve}, {rt}
+n, d, qn, k, ef = {n}, {d}, {qn}, {k}, {ef}
+rng = np.random.default_rng(0)
+xh = rng.normal(size=(n, d)).astype(np.float32)
+qh = (xh[rng.integers(0, n, qn)] + 0.3 * rng.normal(size=(qn, d))).astype(np.float32)
+x, q0, valid = jnp.asarray(xh), jnp.asarray(qh), jnp.ones(n, bool)
+
+def full(q, x, v):
+    ps, pi = pe.exact_pool_scored_pallas(
+        q, x, v, ef_buf=ef, stage2_rt=rt, stage2_halve=halve)
+    return tr.exact_finalize(q, ps, pi, k, "L2")
+
+out = jax.block_until_ready(jax.jit(full)(q0, x, valid))
+iv = np.asarray(out[2])
+truth = np.load({truth!r})["truth"]
+recall = float(np.mean([len(set(iv[i]) & set(truth[i])) / k for i in range(qn)]))
+
+def chained(q, x, v):
+    def body(i, acc):
+        o = full(q + acc * 1e-30, x, v)[0]
+        return acc + jnp.sum(o.astype(jnp.float32)) * 1e-32
+    return jax.lax.fori_loop(0, 8, body, jnp.float32(0.0))
+
+cj = jax.jit(chained)
+jax.block_until_ready(cj(q0, x, valid))
+ts = []
+for _ in range(6):
+    t0 = time.perf_counter()
+    jax.block_until_ready(cj(q0, x, valid))
+    ts.append(time.perf_counter() - t0)
+ms = float(np.median(ts[1:])) / 8 * 1e3
+print(json.dumps({{"halve": halve, "rt": rt, "recall": round(recall, 5),
+                  "full_ms": round(ms, 2)}}), flush=True)
+"""
+
+
+def ensure_truth():
+    if os.path.exists(TRUTH):
+        return
+    rng = np.random.default_rng(0)
+    xh = rng.normal(size=(N, D)).astype(np.float32)
+    qh = (xh[rng.integers(0, N, QN)]
+          + 0.3 * rng.normal(size=(QN, D)).astype(np.float32)).astype(np.float32)
+    xsq = (xh ** 2).sum(1)
+    truth = np.empty((QN, K), np.int64)
+    for lo in range(0, QN, 64):
+        qb = qh[lo:lo + 64]
+        d2 = (qb ** 2).sum(1)[:, None] - 2.0 * qb @ xh.T + xsq[None, :]
+        part = np.argpartition(d2, K, axis=1)[:, :K]
+        order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
+        truth[lo:lo + 64] = np.take_along_axis(part, order, axis=1)
+    np.savez(TRUTH, truth=truth)
+    print("truth cached", flush=True)
+
+
+def main():
+    ensure_truth()
+    configs = [(0, 0.99), (1, 0.99), (2, 0.99), (3, 0.99), (2, 0.999)]
+    for halve, rt in configs:
+        src = RUNNER.format(root=ROOT, halve=halve, rt=rt, n=N, d=D, qn=QN,
+                            k=K, ef=EF, truth=TRUTH)
+        try:
+            p = subprocess.run([sys.executable, "-u", "-c", src],
+                               capture_output=True, text=True, timeout=420)
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            print(line[-1] if line else json.dumps(
+                {"halve": halve, "rt": rt, "error": p.stderr[-200:]}),
+                flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"halve": halve, "rt": rt, "error": "TIMEOUT"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
