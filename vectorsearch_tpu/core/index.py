@@ -475,9 +475,13 @@ def _unified_sealed_query(
         # re-rank gather (see _sealed_exact_pool_scored / exact_finalize).
         # Masked by `alive`, not `exists`: an exact ranking without
         # tombstones equals dropping them at re-rank, so the pool needs no
-        # dead-row slack.
+        # dead-row slack. Lean stacks lane-pad the vector dim; pad q to
+        # match (zero pads are score-exact).
+        qx = q
+        if qx.shape[1] < d:
+            qx = jnp.pad(qx, ((0, 0), (0, d - qx.shape[1])))
         ps, pi = _sealed_exact_pool_scored(
-            q, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
+            qx, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
             ef_buf=ef_buf, metric=metric,
         )
         scores, dists, gidx = traversal_ops.exact_finalize(q, ps, pi, rr, metric)
@@ -530,6 +534,10 @@ def _unified_sealed_query(
 def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg):
     """ALL brute-force segments in one flattened pairwise matmul + top-k;
     flat row ids decompose into (segment slot, vector id)."""
+    if q.shape[1] < x_flat.shape[1]:
+        # BruteStack lane-pads the feature dim; zero-pad q to match (exact
+        # for L2/cosine: zero pads change neither dots nor norms)
+        q = jnp.pad(q, ((0, 0), (0, x_flat.shape[1] - q.shape[1])))
     scores, dists, idx = topk_ops.brute_force_topk(q, x_flat, valid_flat, k, metric)
     slot = jnp.where(idx >= 0, slot_base + idx // n_per_seg, -1)
     vid = jnp.where(idx >= 0, idx % n_per_seg, -1)
@@ -1134,36 +1142,55 @@ class VectorIndex:
                 and not multi_device
                 and approx_bytes <= (1 << 31)
             ):
-                stack = self._stacks.sealed(group, lean=gexact)
-                base = len(seg_list)
-                seg_list.extend(group)
-                total_codes = sum(seg.exists_count() for seg in group)
-                u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
-                if gexact:
-                    # same 4k-wide pool as the per-segment exact sizing
-                    # above; the global top-pool merged once equals the
-                    # merged per-segment pools (exact ranking is true
-                    # ranking), so no per-segment oversampling is needed
-                    u_ef_buf = min(
-                        _bucket(max(4 * k, 32)), len(group) * cap
+                # Power-of-2 subgroups (11 segments -> 8+2+1): the segment
+                # count S is a STATIC shape axis of the unified program, so
+                # without chunking every rotation compiled a fresh program
+                # at the new S (minutes each at Deep10M scale, during
+                # serving). Chunked, only log2 distinct shapes ever compile;
+                # singletons fall through to the (warm) per-segment path.
+                rest: list = []
+                todo = list(group)
+                while todo:
+                    size = 1
+                    while size * 2 <= len(todo):
+                        size *= 2
+                    sub, todo = todo[:size], todo[size:]
+                    if len(sub) == 1:
+                        rest.extend(sub)
+                        continue
+                    stack = self._stacks.sealed(sub, lean=gexact)
+                    base = len(seg_list)
+                    seg_list.extend(sub)
+                    total_codes = sum(seg.exists_count() for seg in sub)
+                    u_ef, u_beam = self._auto_tune_n(total_codes, k, params)
+                    if gexact:
+                        # same 4k-wide pool as the per-segment exact sizing
+                        # above; the global top-pool merged once equals the
+                        # merged per-segment pools (exact ranking is true
+                        # ranking), so no per-segment oversampling is needed
+                        u_ef_buf = min(
+                            _bucket(max(4 * k, 32)), len(sub) * cap
+                        )
+                    else:
+                        u_ef_buf = min(_bucket(max(u_ef, k)), len(sub) * cap)
+                    u_beam_buf = min(_bucket(u_beam, lo=8), u_ef_buf)
+                    entries.append(
+                        _unified_sealed_query(
+                            qd, stack.vectors, stack.codebooks, stack.codes,
+                            stack.adjacency_global, stack.exists, stack.alive,
+                            u_ef, u_beam, base,
+                            ef_buf=u_ef_buf, beam_buf=u_beam_buf,
+                            max_steps=u_ef_buf, min_steps=min_steps,
+                            refine_frontier=refine,
+                            rr=min(per_seg_limit * len(sub), u_ef_buf),
+                            metric=self.config.metric, flat=gflat,
+                            flat_strict=flat_strict, exact=gexact,
+                        )
                     )
-                else:
-                    u_ef_buf = min(_bucket(max(u_ef, k)), len(group) * cap)
-                u_beam_buf = min(_bucket(u_beam, lo=8), u_ef_buf)
-                entries.append(
-                    _unified_sealed_query(
-                        qd, stack.vectors, stack.codebooks, stack.codes,
-                        stack.adjacency_global, stack.exists, stack.alive,
-                        u_ef, u_beam, base,
-                        ef_buf=u_ef_buf, beam_buf=u_beam_buf,
-                        max_steps=u_ef_buf, min_steps=min_steps,
-                        refine_frontier=refine,
-                        rr=min(per_seg_limit * len(group), u_ef_buf),
-                        metric=self.config.metric, flat=gflat,
-                        flat_strict=flat_strict, exact=gexact,
-                    )
-                )
-                continue
+                if not rest:
+                    continue
+                group = rest  # singletons: per-segment dispatch below
+                tuned = [self._auto_tune(seg, k, params) for seg in group]
 
             # Optional: fuse same-shape segments into ONE program ((query,
             # segment) pairs stacked on the row axis). Measured SLOWER than

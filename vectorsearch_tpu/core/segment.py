@@ -107,7 +107,12 @@ class Segment:
         else:
             self.payloads = [None] * self.cap_pad
         self.next_row = 0  # rows [0, next_row) were ever written
-        self.version = 0  # bumped on any mutation (stack-cache invalidation)
+        self.version = 0  # bumped on DATA mutations (stack-cache invalidation)
+        # Tombstones/vacuum clears bump flags_version instead: stacks keep
+        # their data planes and re-stack only the bool flag planes, so a
+        # delete during serving never forces a multi-GB restack (r3:
+        # Deep10M churn collapse)
+        self.flags_version = 0
 
         # sealed artifacts (host side; None until built)
         self.codes_np: Optional[np.ndarray] = None
@@ -141,10 +146,11 @@ class Segment:
     def exists_count(self) -> int:
         """Number of rows with data (tombstones included), cached by version."""
         cached = getattr(self, "_exists_count_cache", None)
-        if cached is not None and cached[0] == self.version:
+        key = (self.version, self.flags_version)
+        if cached is not None and cached[0] == key:
             return cached[1]
         n = int(np.count_nonzero(self.exists_np[: self.next_row]))
-        self._exists_count_cache = (self.version, n)
+        self._exists_count_cache = (key, n)
         return n
 
     def append_rows(self, rows: np.ndarray, payloads: list) -> list[int]:
@@ -174,7 +180,7 @@ class Segment:
         self.gids_np[vec_id] = -1
         self.meta.count -= 1
         self.meta.deleted_count += 1
-        self.version += 1
+        self.flags_version += 1
         with self._dev_lock:
             self._pending_flag_updates.append((vec_id, False))
         return True
@@ -197,7 +203,9 @@ class Segment:
             self.codes_np[vec_ids] = 0
         if self.adjacency_np is not None:
             self.adjacency_np[vec_ids] = -1
-        self.version += 1
+        # flags-only: the cleared rows were already invisible (exists/alive
+        # False); data planes' contents for masked rows are never read
+        self.flags_version += 1
 
     def replay_wal(self, records: list[dict]) -> None:
         """Applies WAL records (per-mutation durability) in append order over
@@ -224,6 +232,7 @@ class Segment:
                 self.gids_np[vids] = -1
         if records:
             self.version += 1
+            self.flags_version += 1
 
     def reconcile_counts(self) -> None:
         """Recomputes meta.count / meta.deleted_count from the arrays (the

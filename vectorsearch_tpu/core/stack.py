@@ -12,8 +12,11 @@ so ALL sealed segments are searched by ONE vmapped XLA program and ALL
 brute-force segments by one flattened matmul — 2-3 dispatches per query batch
 regardless of segment count.
 
-Stacks are cached keyed by the (seg_id, version) tuple of their members;
-any segment mutation bumps its version and invalidates affected stacks.
+Stacks are cached keyed by the (seg_id, version) tuple of their members,
+where version covers DATA mutations (appends, artifacts, compaction).
+Tombstone/vacuum flips bump a separate flags_version, absorbed by
+re-stacking only the [S, N] bool planes (refresh_flags) — a delete during
+serving costs MBs, not a multi-GB vector restack.
 Stacked arrays are snapshots (stacking copies), so in-flight queries keep
 consistent data while segments mutate — the same snapshot-isolation story as
 the per-segment device mirrors.
@@ -30,14 +33,31 @@ import jax.numpy as jnp
 from vectorsearch_tpu.core.segment import Segment
 
 
+def _pad_dim(a: jax.Array) -> jax.Array:
+    """Zero-pads the trailing (feature) dim to a 128-lane multiple. Zero pads
+    change neither dot products nor norms, so L2/cosine scores are exact —
+    and the Pallas exact kernel runs its full-tile configs instead of the
+    crippled non-lane-multiple fallback (d=96 measured ~10x slower)."""
+    d = a.shape[-1]
+    pad = (-d) % 128
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return jnp.pad(a, widths)
+
+
 class SealedStack:
     def __init__(self, segments: Sequence[Segment], lean: bool = False):
         """``lean=True`` (exact-mode stacks): only the row planes the raw-
         vector scan reads are stacked; PQ/graph planes become tiny dummies
         (never read, DCEd from the program — some segments may not even have
-        them, pq_build_mode="skip_for_exact")."""
+        them, pq_build_mode="skip_for_exact"). Lean stacks also lane-pad the
+        vector dim (consumers pad q to match; see _pad_dim)."""
         self.segments = list(segments)
-        self.vectors = jnp.stack([s.vectors_dev for s in segments])
+        self._lock = threading.Lock()
+        self._flag_versions = [s.flags_version for s in segments]
+        vecs = jnp.stack([s.vectors_dev for s in segments])
+        self.vectors = _pad_dim(vecs) if lean else vecs
         self.exists = jnp.stack([s.exists_dev for s in segments])
         self.alive = jnp.stack([s.alive_dev for s in segments])
         s_count = len(segments)
@@ -51,6 +71,23 @@ class SealedStack:
             self.codebooks = jnp.stack([s.codebook_dev for s in segments])
             self.adjacency = jnp.stack([s.adjacency_dev for s in segments])
             self._adjacency_global = None
+
+    def refresh_flags(self) -> None:
+        """Re-stacks ONLY the bool flag planes when members' tombstone state
+        moved (flags_version). Data planes are keyed by the data version in
+        the cache key, so a delete/vacuum during serving costs a [S, N] bool
+        restack (~MBs) instead of the multi-GB vector restack. Swaps are
+        atomic attribute assignments: in-flight programs keep their
+        snapshot."""
+        current = [s.flags_version for s in self.segments]
+        if current == self._flag_versions:
+            return
+        with self._lock:
+            if current == self._flag_versions:
+                return
+            self.exists = jnp.stack([s.exists_dev for s in self.segments])
+            self.alive = jnp.stack([s.alive_dev for s in self.segments])
+            self._flag_versions = current
 
     @property
     def adjacency_global(self):
@@ -69,24 +106,44 @@ class BruteStack:
     def __init__(self, segments: Sequence[Segment]):
         self.segments = list(segments)
         self.cap_pad = segments[0].cap_pad
+        self._lock = threading.Lock()
+        self._flag_versions = [s.flags_version for s in segments]
         # flattened: one pairwise matmul covers every row of every segment.
         # The SEGMENT-COUNT axis is padded to a power of two: every distinct
         # flattened length is its own XLA program, and under churn (rotations
         # adding PENDING segments) unpadded lengths forced a fresh ~5-40s
         # compile per rotation. Padded rows are alive=False -> idx -1 ->
-        # filtered at the merge.
-        n_pad = 1
-        while n_pad < len(segments):
-            n_pad *= 2
-        vecs = [s.vectors_dev for s in segments]
-        alive = [s.alive_dev for s in segments]
-        if n_pad > len(segments):
+        # filtered at the merge. The feature dim is lane-padded (_pad_dim) so
+        # non-multiple dims keep the fused scan kernel fast.
+        self._n_pad = 1
+        while self._n_pad < len(segments):
+            self._n_pad *= 2
+        vecs = [_pad_dim(s.vectors_dev) for s in segments]
+        if self._n_pad > len(segments):
             cap, dim = vecs[0].shape
-            extra = n_pad - len(segments)
+            extra = self._n_pad - len(segments)
             vecs.append(jnp.zeros((extra * cap, dim), vecs[0].dtype))
-            alive.append(jnp.zeros(extra * cap, bool))
         self.vectors = jnp.concatenate(vecs, axis=0)
-        self.alive = jnp.concatenate(alive, axis=0)
+        self.alive = self._stack_alive()
+
+    def _stack_alive(self) -> jax.Array:
+        alive = [s.alive_dev for s in self.segments]
+        if self._n_pad > len(self.segments):
+            extra = self._n_pad - len(self.segments)
+            alive.append(jnp.zeros(extra * self.cap_pad, bool))
+        return jnp.concatenate(alive, axis=0)
+
+    def refresh_flags(self) -> None:
+        """Tombstone-only restack of the alive plane (see
+        SealedStack.refresh_flags)."""
+        current = [s.flags_version for s in self.segments]
+        if current == self._flag_versions:
+            return
+        with self._lock:
+            if current == self._flag_versions:
+                return
+            self.alive = self._stack_alive()
+            self._flag_versions = current
 
 
 class StackCache:
@@ -109,6 +166,7 @@ class StackCache:
         with self._lock:
             st = self._sealed.get(key)
         if st is not None:
+            st.refresh_flags()
             return st
         st = SealedStack(segments, lean=lean)
         with self._lock:
@@ -122,6 +180,7 @@ class StackCache:
         with self._lock:
             st = self._brute.get(key)
         if st is not None:
+            st.refresh_flags()
             return st
         st = BruteStack(segments)
         with self._lock:

@@ -30,8 +30,6 @@ def brute_force_topk(
     Returns (scores f32[Q, k], distances f32[Q, k], indices i32[Q, k]);
     invalid/padding slots get score=-inf and index=-1.
     """
-    scores, distances = dist_ops.scores_from_distances(metric, q, x)
-    masked = jnp.where(valid[None, :], scores, NEG_INF)
     n = x.shape[0]
     if k > n:  # fewer rows than requested: return them all, pad the rest
         s, d, i = brute_force_topk(q, x, valid, n, metric)
@@ -41,6 +39,25 @@ def brute_force_topk(
             jnp.pad(d, pad, constant_values=jnp.inf),
             jnp.pad(i, pad, constant_values=-1),
         )
+    # Large tables on TPU: `lax.top_k` over [Q, N] is a full per-row sort
+    # (the measured ACTIVE-segment cost at 1M-row caps); route through the
+    # fused scan + binned-pool kernel and finalize distances algebraically —
+    # the same machinery as sealed exact mode (the ACTIVE scan IS an exact
+    # scan; reference: fdb/FdbVectorIndex.java:660-725).
+    ef_buf = 16
+    while ef_buf < min(k, n):
+        ef_buf *= 2
+    from vectorsearch_tpu.ops.pallas import exact as pallas_exact
+
+    if pallas_exact.use_fused_exact_pool(n, x.shape[1], ef_buf):
+        from vectorsearch_tpu.ops import traversal as traversal_ops
+
+        ps, pi = pallas_exact.exact_pool_scored_pallas(
+            q, x, valid, ef_buf=ef_buf, metric=metric
+        )
+        return traversal_ops.exact_finalize(q, ps, pi, k, metric)
+    scores, distances = dist_ops.scores_from_distances(metric, q, x)
+    masked = jnp.where(valid[None, :], scores, NEG_INF)
     top_scores, top_idx = jax.lax.top_k(masked, k)
     keep = top_scores > NEG_INF
     # Re-derive exact distances for the winners with the direct (a-b)^2 form:
