@@ -352,7 +352,18 @@ def bench_deep10m():
     q = x[rng.integers(0, n, 512)] + 0.02 * rng.normal(size=(512, d)).astype(
         np.float32
     )
-    idx.query_batch(q, k, params)  # warm the sealed-only shape
+    # Warm EVERY serving shape the churn phase will dispatch: one row in the
+    # ACTIVE segment compiles the brute program too (an empty ACTIVE is
+    # skipped from dispatch, so a sealed-only warm would leave that compile
+    # to land inside the measured window — minutes at this scale through
+    # the axon tunnel; warm-process numbers are the real ones, CLAUDE.md),
+    # and one delete warms the tombstone flag-update programs.
+    idx.add_all(x[:1])
+    idx.delete_all([gids[300]])  # outside the recall/leak check ranges
+    t_warm = time.time()
+    idx.query_batch(q, k, params)
+    idx.query_batch(q, k, params)
+    warm_s = time.time() - t_warm
 
     stop = [False]
     mutations = [0]
@@ -393,6 +404,7 @@ def bench_deep10m():
         "metric": (
             f"deep{n}_churn_qps_arrays_k10_selfrecall{recall:.2f}"
             f"_leaked{leaked}_mutations{mutations[0]}_build{build_s:.0f}s"
+            f"_warm{warm_s:.0f}s"
         ),
         "value": round(qps, 1),
         "unit": "queries/s",

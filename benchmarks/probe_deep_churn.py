@@ -50,7 +50,14 @@ def main():
                           max_explore=150, mode=Mode.BEST_FIRST)
     q = x[rng.integers(0, n, 512)] + 0.02 * rng.normal(
         size=(512, d)).astype(np.float32)
-    idx.query_batch_arrays(q, k, params)  # warm
+    # warm the serving shapes the CHURN phase will use: one row in the
+    # ACTIVE segment compiles the brute program (an empty ACTIVE is skipped
+    # from dispatch, so warming before any insert misses that shape)
+    idx.add_all(x[:1], [None])
+    t_warm = time.time()
+    idx.query_batch_arrays(q, k, params)
+    print(json.dumps({"warm_with_active_s": round(time.time() - t_warm, 1)}),
+          flush=True)
 
     # single-batch sync latency (includes tunnel RTT)
     ts = []
@@ -106,6 +113,26 @@ def main():
     wt.join()
     print(json.dumps({"qps_churn": round(qps_churn, 1),
                       "writer_iters": iters[0]}), flush=True)
+
+    # attribution: same churn but with vacuum/compaction gated OFF — the
+    # difference is pure maintenance cost (1-core host: vacuums/compactions
+    # steal CPU and hold the store lock)
+    object.__setattr__(idx.config.effective, "vacuum_min_deleted_ratio", 1.1)
+    object.__setattr__(
+        idx.config.effective, "auto_find_compaction_candidates", False
+    )
+    stop[0] = False
+    iters[0] = 0
+    wt2 = threading.Thread(target=writer, daemon=True)
+    wt2.start()
+    time.sleep(1.0)
+    qps_churn_nomaint = bench.measure_qps(
+        idx, np.concatenate([q] * 4), k, batch=512, seconds=15.0,
+        params=params, in_flight=8)
+    stop[0] = True
+    wt2.join()
+    print(json.dumps({"qps_churn_nomaint": round(qps_churn_nomaint, 1),
+                      "writer_iters2": iters[0]}), flush=True)
     idx.close()
 
 

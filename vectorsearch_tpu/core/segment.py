@@ -53,8 +53,11 @@ def _update_range_1d(dst: jax.Array, vals: jax.Array, start: jax.Array) -> jax.A
 
 
 @jax.jit
-def _update_flags(dst: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
-    return dst.at[idx].set(values)
+def _update_flags(dst: jax.Array, packed: jax.Array) -> jax.Array:
+    # packed i32[2, n] = (row ids, 0/1 values) in ONE transfer: each
+    # host->device put costs a full tunnel round-trip (~25 ms on axon), and
+    # the churn serving path pays this per mutated segment per batch
+    return dst.at[packed[0]].set(packed[1] != 0)
 
 
 def _bucket_update(n: int, lo: int = 256) -> int:
@@ -380,8 +383,9 @@ class Segment:
                 if pad:
                     ids = np.concatenate([ids, np.full(pad, ids[0], np.int32)])
                     vals = np.concatenate([vals, np.full(pad, vals[0], bool)])
+                packed = np.stack([ids, vals.astype(np.int32)])
                 self._alive_dev = _update_flags(
-                    self._alive_dev, self._put(ids), self._put(vals)
+                    self._alive_dev, self._put(packed)
                 )
                 self._pending_flag_updates.clear()
 
