@@ -52,15 +52,16 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
         # compile error, and sweeps need to probe past the conservative cap
         return requested, min(requested, 1024)
     budget = 11 * 1024 * 1024
-    # Non-lane-multiple dims (d % 128 != 0) inflate Mosaic's scoped-vmem
-    # estimate far past this accounting: at d=96/N=1M the t=4096 kernel
-    # claims 25.7 MB scoped and the whole sealed-query program fails to
-    # compile (Deep10M's shape, r3), while t<=2048 compiles everywhere
-    # probed. Cap the auto tile there; explicit tile_n can still probe past.
-    t_max = 8192 if d % 128 == 0 else 2048
-    for t in (8192, 4096, 2048, 1024, 512):
-        if t > t_max:
-            continue
+    # Auto tiles cap at 2048: Mosaic's scoped-vmem estimate for this kernel
+    # is COMPOSITION-dependent — t=4096 compiled standalone and in the
+    # sift1m sealed program, then hit the 16 MB scoped limit at d=96/N=1M
+    # (25.7 MB claimed) and again composed under _stacked_brute_query at
+    # Q=256/d=128 (16.77 MB), each failing the whole program's compile.
+    # t<=2048 has compiled in every composition probed, and the pool width
+    # (bins scale with tile) is unchanged — the cost is only ~2x grid steps
+    # in stage 1 (~+1.2 ms at N=1M). Explicit tile_n still probes past for
+    # sweeps, where a compile failure is visible and recoverable.
+    for t in (2048, 1024, 512):
         c = min(t, 1024)
         need = 2 * (qp * c * 4) + 2 * t * d * 4 + c * d * 4 + qp * d * 8
         if need <= budget:
