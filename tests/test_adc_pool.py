@@ -96,3 +96,39 @@ def test_auto_pool_tile_shapes():
     # the serving shapes pick the big tile; glove's wider LUT steps down
     assert pa._auto_pool_tile(512, 4096, None) == (2048, 256)
     assert pa._auto_pool_tile(512, 5120, None) == (1024, 128)
+
+
+def test_requested_tile_invariants_enforced():
+    """Explicit tile_n must yield chunk % bins == 0 and tile % chunk == 0 —
+    e.g. 2560 previously produced chunk=320 vs bins=256, silently skipping
+    columns and corrupting global row ids (ADVICE r3 #4)."""
+    for req in (2560, 2048, 1024, 512, 3072, 4096):
+        t, c = pa._auto_pool_tile(512, 4096, req)
+        bins = pa._BINS * max(1, t // 1024)
+        assert t == req and c % bins == 0 and t % c == 0, (req, t, c)
+    with pytest.raises(ValueError):
+        pa._auto_pool_tile(512, 4096, 2176)  # not a multiple of its bins (256)
+
+
+def test_requested_nonstandard_tile_returns_correct_ids(rng):
+    """End-to-end guard for the ADVICE r3 #4 corruption: a tile that is a
+    non-power-of-two bins multiple (2560) must return the same pool quality
+    and in-range ids as the auto tile."""
+    n = 2560 * 2 + 123
+    cb, codes, q = _setup(rng, n)
+    valid = np.ones(n, bool)
+    lut = pq_ops.build_lut(q, cb)
+    ref = np.asarray(pq_ops.adc_scan(lut, codes, jnp.asarray(valid)))
+    truth = np.argsort(ref, axis=1)[:, :10]
+    neg, idx = _pool(lut, codes, valid, 64, tile=2560)
+    returned = set(idx.ravel().tolist()) - {-1}
+    assert all(0 <= v < n for v in returned)
+    hits = np.mean(
+        [len(set(idx[i]) & set(truth[i])) / 10 for i in range(len(truth))]
+    )
+    assert hits >= 0.9, hits
+    # ids must address the rows whose ADC distance matches the pool score
+    for i in range(len(truth)):
+        got = -neg[i][idx[i] >= 0]
+        want = ref[i][idx[i][idx[i] >= 0]]
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

@@ -54,3 +54,31 @@ def test_float_packer_roundtrip(rng):
         assert False
     except ValueError:
         pass
+
+
+def test_vacuum_exists_flips_reach_device_mirror(rng):
+    """remove_rows (vacuum) must queue exists flips through the packed
+    incremental flag transfer: a stale device exists=True keeps vacuumed rows
+    in flat-mode candidate pools forever (ADVICE r3 #2)."""
+    from vectorsearch_tpu.core.segment import Segment
+    from vectorsearch_tpu.types import SegmentMeta, SegmentState
+
+    seg = Segment(SegmentMeta(0, SegmentState.ACTIVE), capacity=256, dim=8)
+    seg.append_rows(
+        rng.normal(size=(64, 8)).astype(np.float32), [None] * 64
+    )
+    _ = seg.exists_dev, seg.alive_dev  # materialize mirrors
+    assert bool(np.asarray(seg.exists_dev)[5])
+    seg.tombstone(5)
+    seg.tombstone(9)
+    seg.remove_rows(np.array([5, 9]))  # vacuum path: tombstone then clear
+    seg.sync_device()
+    exists = np.asarray(seg.exists_dev)
+    alive = np.asarray(seg.alive_dev)
+    assert not exists[5] and not exists[9]  # pool slots reclaimed on device
+    assert not alive[5] and not alive[9]
+    assert exists[4] and alive[4]  # neighbors untouched
+    # duplicate-id dedup: the last queued write (vacuum's exists=False) must
+    # win over the earlier tombstone's exists=True despite a shared scatter
+    assert np.array_equal(exists[:64], seg.exists_np[:64])
+    assert np.array_equal(alive[:64], seg.alive_np[:64])

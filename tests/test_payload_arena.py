@@ -202,3 +202,25 @@ def test_disk_spill_memmaps_large_blobs(tmp_path, rng):
     assert not any(
         f.startswith("0.payblob.") for f in os.listdir(segdir)
     )
+
+
+def test_empty_payload_write_into_memmapped_arena(tmp_path):
+    """Writing b'' into an arena reopened from a read-only memmapped blob
+    must not attempt a blob write (ADVICE r3: zero-length slice assignment
+    into a read-only memmap raises)."""
+    from vectorsearch_tpu.core.payloads import PayloadArena
+
+    arena = PayloadArena(8)
+    arena[0] = b"hello"
+    arrays = arena.to_npz_arrays(4)
+    blob_path = tmp_path / "blob.npy"
+    np.save(blob_path, arrays["payload_blob"])
+    ro_blob = np.load(blob_path, mmap_mode="r")
+    assert isinstance(ro_blob, np.memmap) and not ro_blob.flags.writeable
+    arrays = dict(arrays, payload_blob=ro_blob)
+    re = PayloadArena.from_npz_arrays(8, arrays)
+    re[1] = b""  # must not raise
+    assert re[1] == b""
+    assert re[0] == b"hello"
+    re[2] = b"grow"  # non-empty write still copy-on-grows off the memmap
+    assert re[2] == b"grow" and re[0] == b"hello"

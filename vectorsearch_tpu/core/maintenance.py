@@ -127,15 +127,13 @@ class MaintenanceService:
                 removed = int(len(doomed))
                 seg.meta.deleted_count = max(0, seg.meta.deleted_count - removed)
                 seg.meta.last_vacuum_at_ms = cfg.effective.clock_ms()
-                # NO device invalidation: vacuum only clears rows that were
-                # already tombstoned, and their device state is already
-                # query-correct — alive=False arrived through the delete
-                # path's incremental flag updates, and a stale exists=True
-                # merely lets a dead row into a candidate pool where the
-                # re-rank drops it by `alive` (the reference's own
-                # deleted-rows-dropped-at-rerank semantics, SURVEY §7).
-                # Re-uploading the bundle here (r2 behavior) cost ~5 s per
-                # 1M-row segment through the axon tunnel and collapsed
+                # NO device bundle re-upload: remove_rows queues the
+                # exists/alive flips through the segment's packed incremental
+                # flag transfer (one put, both planes), so vacuumed rows
+                # leave flat-mode candidate pools on the next sync instead of
+                # occupying ef_buf slots until compaction (ADVICE r3 #2).
+                # Re-uploading the whole bundle here (r2 behavior) cost ~5 s
+                # per 1M-row segment through the axon tunnel and collapsed
                 # Deep10M churn serving to 32 QPS; the host arrays stay the
                 # source of truth for checkpoints and compaction either way.
                 self.store.checkpoint_segment(seg_id)

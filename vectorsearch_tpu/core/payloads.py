@@ -52,6 +52,13 @@ class PayloadArena:
             self._len[i] = 0
             return
         b = np.frombuffer(bytes(payload), np.uint8)
+        if len(b) == 0:
+            # no blob write: a zero-length slice assignment would still raise
+            # on a read-only memmapped blob (reopened-from-spill arena), and
+            # copy-on-grow never triggers for need == _blob_len (ADVICE r3)
+            self._off[i] = self._blob_len
+            self._len[i] = 0
+            return
         need = self._blob_len + len(b)
         if need > len(self._blob):
             new = np.empty(max(need, 2 * len(self._blob)), np.uint8)

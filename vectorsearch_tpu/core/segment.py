@@ -53,11 +53,20 @@ def _update_range_1d(dst: jax.Array, vals: jax.Array, start: jax.Array) -> jax.A
 
 
 @jax.jit
-def _update_flags(dst: jax.Array, packed: jax.Array) -> jax.Array:
-    # packed i32[2, n] = (row ids, 0/1 values) in ONE transfer: each
-    # host->device put costs a full tunnel round-trip (~25 ms on axon), and
-    # the churn serving path pays this per mutated segment per batch
-    return dst.at[packed[0]].set(packed[1] != 0)
+def _update_flags(
+    alive_dst: jax.Array, exists_dst: jax.Array, packed: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    # packed i32[3, n] = (row ids, alive 0/1, exists 0/1) in ONE transfer:
+    # each host->device put costs a full tunnel round-trip (~25 ms on axon),
+    # and the churn serving path pays this per mutated segment per batch.
+    # Both planes update in one dispatch — tombstones flip alive only, vacuum
+    # flips both (a stale device exists=True would keep vacuumed rows in
+    # flat-mode candidate pools forever; ADVICE r3 #2).
+    ids = packed[0]
+    return (
+        alive_dst.at[ids].set(packed[1] != 0),
+        exists_dst.at[ids].set(packed[2] != 0),
+    )
 
 
 def _bucket_update(n: int, lo: int = 256) -> int:
@@ -131,7 +140,9 @@ class Segment:
         self._codebook_dev: Optional[jax.Array] = None
         self._adjacency_dev: Optional[jax.Array] = None
         self._dev_rows = 0  # rows synced to device
-        self._pending_flag_updates: list[tuple[int, bool]] = []  # (row, alive)
+        # (row ids np.ndarray, alive value, exists value) batches: tombstones
+        # queue (ids, False, True), vacuum clears queue (ids, False, False)
+        self._pending_flag_updates: list[tuple[np.ndarray, bool, bool]] = []
 
     # ------------------------------------------------------------------ host
 
@@ -185,7 +196,9 @@ class Segment:
         self.meta.deleted_count += 1
         self.flags_version += 1
         with self._dev_lock:
-            self._pending_flag_updates.append((vec_id, False))
+            self._pending_flag_updates.append(
+                (np.array([vec_id], np.int32), False, True)
+            )
         return True
 
     def remove_row(self, vec_id: int) -> None:
@@ -206,9 +219,16 @@ class Segment:
             self.codes_np[vec_ids] = 0
         if self.adjacency_np is not None:
             self.adjacency_np[vec_ids] = -1
-        # flags-only: the cleared rows were already invisible (exists/alive
-        # False); data planes' contents for masked rows are never read
+        # flags-only: data planes for masked rows are never read, so no
+        # device re-upload — but the exists flips MUST reach the device
+        # mirror incrementally, or vacuumed rows permanently occupy
+        # flat-mode pool slots (dropped only at re-rank) while auto-tune
+        # sizes ef from the shrunken host exists_count (ADVICE r3 #2)
         self.flags_version += 1
+        with self._dev_lock:
+            self._pending_flag_updates.append(
+                (np.asarray(vec_ids, np.int32).ravel().copy(), False, False)
+            )
 
     def replay_wal(self, records: list[dict]) -> None:
         """Applies WAL records (per-mutation durability) in append order over
@@ -339,12 +359,14 @@ class Segment:
                 self._pending_flag_updates.clear()
                 return
             if self._sharded_now():
-                # Sealed mesh-sharded segments never append; tombstone flips
-                # re-place the (tiny) alive plane wholesale — host numpy is
+                # Sealed mesh-sharded segments never append; flag flips
+                # re-place the (tiny) bool planes wholesale — host numpy is
                 # authoritative, and a scatter onto a sharded operand would
                 # compile a collective-heavy program for no benefit.
                 if self._pending_flag_updates:
                     self._alive_dev = self._put_rows(self.alive_np)
+                    if any(not ex for _, _, ex in self._pending_flag_updates):
+                        self._exists_dev = self._put_rows(self.exists_np)
                     self._pending_flag_updates.clear()
                 return
             if self.next_row > self._dev_rows:
@@ -374,18 +396,35 @@ class Segment:
                 )
                 self._dev_rows = stop
             if self._pending_flag_updates:
-                ids = np.array([i for i, _ in self._pending_flag_updates], np.int32)
-                vals = np.array([v for _, v in self._pending_flag_updates], bool)
+                ids = np.concatenate(
+                    [b for b, _, _ in self._pending_flag_updates]
+                ).astype(np.int32)
+                al = np.concatenate([
+                    np.full(len(b), av, np.int32)
+                    for b, av, _ in self._pending_flag_updates
+                ])
+                ex = np.concatenate([
+                    np.full(len(b), ev, np.int32)
+                    for b, _, ev in self._pending_flag_updates
+                ])
+                if len(np.unique(ids)) != len(ids):
+                    # same row queued twice with different values (tombstone
+                    # then vacuum): XLA scatter picks an arbitrary duplicate,
+                    # so keep only the LAST queued write per row
+                    _, last_rev = np.unique(ids[::-1], return_index=True)
+                    keep = np.sort(len(ids) - 1 - last_rev)
+                    ids, al, ex = ids[keep], al[keep], ex[keep]
                 # bucket the scatter size too (duplicate writes of the first
                 # element are idempotent padding)
                 span = _bucket_update(len(ids), lo=64)
                 pad = span - len(ids)
                 if pad:
                     ids = np.concatenate([ids, np.full(pad, ids[0], np.int32)])
-                    vals = np.concatenate([vals, np.full(pad, vals[0], bool)])
-                packed = np.stack([ids, vals.astype(np.int32)])
-                self._alive_dev = _update_flags(
-                    self._alive_dev, self._put(packed)
+                    al = np.concatenate([al, np.full(pad, al[0], np.int32)])
+                    ex = np.concatenate([ex, np.full(pad, ex[0], np.int32)])
+                packed = np.stack([ids, al, ex])
+                self._alive_dev, self._exists_dev = _update_flags(
+                    self._alive_dev, self._exists_dev, self._put(packed)
                 )
                 self._pending_flag_updates.clear()
 

@@ -241,7 +241,18 @@ def _auto_pool_tile(
     and runs ~13 MB by this accounting (Mosaic reuses the compare/select
     temps it would double-count)."""
     if requested is not None:
-        return requested, max(requested // 8, min(requested, 256))
+        # the kernel's id arithmetic (g*bins+lane) and its chunk loop assume
+        # chunk % bins == 0 and tile % chunk == 0; a tile like 2560 would
+        # otherwise silently skip columns and emit WRONG row ids (ADVICE r3)
+        bins = _BINS * max(1, requested // 1024)
+        if requested % bins:
+            raise ValueError(
+                f"tile_n={requested} must be a multiple of bins={bins}"
+            )
+        chunk = (max(requested // 8, min(requested, 256)) // bins) * bins
+        while chunk > bins and requested % chunk:
+            chunk -= bins
+        return requested, max(chunk, bins)
     budget = 14 * 1024 * 1024
     fixed = qp * mk * 2 + mk * 4  # resident bf16 LUT + kidx row
     for t, c in ((2048, 256), (1024, 128)):

@@ -49,8 +49,18 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
     VPU+MXU work); the in-kernel chunk loop keeps VMEM flat while doing it."""
     if requested is not None:
         # explicit tiles bypass the budget: a VMEM overflow is a visible
-        # compile error, and sweeps need to probe past the conservative cap
-        return requested, min(requested, 1024)
+        # compile error, and sweeps need to probe past the conservative cap.
+        # Same invariants as adc._auto_pool_tile: chunk % bins == 0 and
+        # tile % chunk == 0, or the kernel skips columns / emits wrong ids.
+        bins = _BINS * max(1, requested // 1024)
+        if requested % bins:
+            raise ValueError(
+                f"tile_n={requested} must be a multiple of bins={bins}"
+            )
+        chunk = (min(requested, 1024) // bins) * bins
+        while chunk > bins and requested % chunk:
+            chunk -= bins
+        return requested, max(chunk, bins)
     budget = 11 * 1024 * 1024
     # Auto tiles cap at 2048: Mosaic's scoped-vmem estimate for this kernel
     # is COMPOSITION-dependent — t=4096 compiled standalone and in the

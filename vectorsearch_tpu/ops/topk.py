@@ -25,7 +25,10 @@ def brute_force_topk(
     k: int,
     metric: str = "L2",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Exact kNN over a masked vector table.
+    """kNN over a masked vector table. Exact (full sort) below ~16k rows;
+    larger TPU tables route through the fused binned-pool kernel with a 4x
+    oversampled pool — near-exact (see the routing comment below); fused-path
+    distances are reconstructed from hi/lo-split scores (~1e-3 absolute).
 
     Returns (scores f32[Q, k], distances f32[Q, k], indices i32[Q, k]);
     invalid/padding slots get score=-inf and index=-1.
@@ -43,9 +46,14 @@ def brute_force_topk(
     # (the measured ACTIVE-segment cost at 1M-row caps); route through the
     # fused scan + binned-pool kernel and finalize distances algebraically —
     # the same machinery as sealed exact mode (the ACTIVE scan IS an exact
-    # scan; reference: fdb/FdbVectorIndex.java:660-725).
-    ef_buf = 16
-    while ef_buf < min(k, n):
+    # scan; reference: fdb/FdbVectorIndex.java:660-725). The pool stage is
+    # APPROXIMATE (binned max + approx_max_k stage 2), so the pool is
+    # oversampled 4x past k — exactly the sealed exact path's ef sizing —
+    # and exact_finalize truncates back to k: a true top-k row is lost only
+    # if >4k of the true neighbors collide into losing bins, measured
+    # recall 1.0 at k=10 (tests/test_pallas_exact.py fused-brute gate).
+    ef_buf = 32
+    while ef_buf < min(max(4 * k, 32), n):
         ef_buf *= 2
     from vectorsearch_tpu.ops.pallas import exact as pallas_exact
 
