@@ -289,3 +289,79 @@ def test_fused_brute_path_oversampled_recall(rng, monkeypatch):
     # distances of returned rows are exact
     want = np.linalg.norm(x[idx[0]] - q[0][None, :], axis=1)
     np.testing.assert_allclose(np.asarray(dist)[0], want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("metric", ["L2", "COSINE"])
+def test_fold_merges_tiles_and_keeps_ids(rng, metric):
+    """Output-revisit folding must return the same winners as a post-hoc
+    merge of the unfolded pool, with global ids intact across tile
+    boundaries (and a non-divisible tail group)."""
+    n, d, qn = 3 * 512 + 123, 32, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(qn, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[100:140] = False
+    s1, i1 = pe.exact_bin_pool(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        metric=metric, tile_n=512, interpret=True, fold=1,
+    )
+    s2, i2 = pe.exact_bin_pool(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        metric=metric, tile_n=512, interpret=True, fold=2,
+    )
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    assert s2.shape[1] * 2 == s1.shape[1]
+    # folded bin g = max of unfolded bins (g, g + bins) pairs across groups:
+    # group j merges tiles 2j and 2j+1 -> unfolded columns j*256+[0,256)
+    bins = 128
+    for j in range(s2.shape[1] // bins):
+        a = s1[:, (2 * j) * bins : (2 * j + 1) * bins]
+        b = (
+            s1[:, (2 * j + 1) * bins : (2 * j + 2) * bins]
+            if (2 * j + 1) * bins < s1.shape[1]
+            else np.full_like(a, -np.inf)
+        )
+        ia = i1[:, (2 * j) * bins : (2 * j + 1) * bins]
+        ib = (
+            i1[:, (2 * j + 1) * bins : (2 * j + 2) * bins]
+            if (2 * j + 1) * bins < i1.shape[1]
+            else np.full_like(ia, 0)
+        )
+        want_s = np.maximum(a, b)
+        got_s = s2[:, j * bins : (j + 1) * bins]
+        np.testing.assert_array_equal(got_s, want_s)
+        want_i = np.where(a >= b, ia, ib)
+        got_i = i2[:, j * bins : (j + 1) * bins]
+        np.testing.assert_array_equal(
+            np.where(np.isfinite(want_s), want_i, -12345),
+            np.where(np.isfinite(got_s), got_i, -12345),
+        )
+    # invalid rows still never win
+    alive_ids = set(i2[np.isfinite(s2)].ravel().tolist())
+    assert not (alive_ids & set(range(100, 140)))
+
+
+def test_precomputed_xn2_matches_internal(rng):
+    n, d, qn = 1024 + 77, 16, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(qn, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    xn2 = jnp.asarray((x * x).sum(1))
+    for metric in ("L2", "COSINE"):
+        s1, i1 = pe.exact_bin_pool(
+            jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+            metric=metric, tile_n=512, interpret=True,
+        )
+        s2, i2 = pe.exact_bin_pool(
+            jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+            metric=metric, tile_n=512, interpret=True, xn2=xn2,
+        )
+        # summation order differs (XLA reduce vs numpy): scores match to
+        # f32 accumulation noise; winners may swap only on exact near-ties
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4
+        )
+        i1, i2 = np.asarray(i1), np.asarray(i2)
+        agree = np.mean(i1[np.isfinite(np.asarray(s1))] ==
+                        i2[np.isfinite(np.asarray(s1))])
+        assert agree > 0.999, agree

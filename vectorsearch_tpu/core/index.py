@@ -141,7 +141,7 @@ def _sealed_flat_pool(q, codebook, codes, exists, ef_dyn, *, ef_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("ef_buf", "metric"))
-def _sealed_exact_pool_scored(q, vectors, valid, *, ef_buf, metric):
+def _sealed_exact_pool_scored(q, vectors, valid, xn2=None, *, ef_buf, metric):
     """Exact-mode candidate pool WITH its rank scores
     (config.sealed_search_mode="exact"): rank ALL rows with an MXU matmul on
     the raw device-resident vectors and take the approx top-ef ->
@@ -175,7 +175,7 @@ def _sealed_exact_pool_scored(q, vectors, valid, *, ef_buf, metric):
         vectors.shape[0], vectors.shape[1], ef_buf
     ):
         return pallas_exact.exact_pool_scored_pallas(
-            q, vectors, valid, ef_buf=ef_buf, metric=metric
+            q, vectors, valid, ef_buf=ef_buf, metric=metric, xn2=xn2
         )
     scores = distance_ops.pairwise_rank_scores(
         q, vectors, valid, metric, precision=jax.lax.Precision.HIGHEST
@@ -455,6 +455,7 @@ def _unified_sealed_query(
     ef_dyn,  # i32 scalar: ONE shared ef per query over the whole corpus
     beam_dyn,  # i32 scalar
     slot_base,  # python int
+    xn2_s=None,  # f32[S, N] stack-cached squared norms (exact mode)
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
     flat=False, flat_strict=False, exact=False,
 ):
@@ -482,6 +483,7 @@ def _unified_sealed_query(
             qx = jnp.pad(qx, ((0, 0), (0, d - qx.shape[1])))
         ps, pi = _sealed_exact_pool_scored(
             qx, vectors_s.reshape(s_count * n, d), alive_s.reshape(-1),
+            None if xn2_s is None else xn2_s.reshape(-1),
             ef_buf=ef_buf, metric=metric,
         )
         scores, dists, gidx = traversal_ops.exact_finalize(q, ps, pi, rr, metric)
@@ -531,14 +533,17 @@ def _unified_sealed_query(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "n_per_seg"))
-def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg):
+def _stacked_brute_query(q, x_flat, valid_flat, slot_base, k, metric, n_per_seg,
+                         xn2=None):
     """ALL brute-force segments in one flattened pairwise matmul + top-k;
     flat row ids decompose into (segment slot, vector id)."""
     if q.shape[1] < x_flat.shape[1]:
         # BruteStack lane-pads the feature dim; zero-pad q to match (exact
         # for L2/cosine: zero pads change neither dots nor norms)
         q = jnp.pad(q, ((0, 0), (0, x_flat.shape[1] - q.shape[1])))
-    scores, dists, idx = topk_ops.brute_force_topk(q, x_flat, valid_flat, k, metric)
+    scores, dists, idx = topk_ops.brute_force_topk(
+        q, x_flat, valid_flat, k, metric, xn2
+    )
     slot = jnp.where(idx >= 0, slot_base + idx // n_per_seg, -1)
     vid = jnp.where(idx >= 0, idx % n_per_seg, -1)
     return scores, dists, vid, slot
@@ -611,7 +616,7 @@ class VectorIndex:
         self._async_batcher = None  # lazy QueryBatcher (query coalescing)
         self._async_lock = threading.Lock()
         self._closed = False
-        self._metrics = get_registry()
+        self._metrics = get_registry(config.metric_attributes)
 
         gq = config.global_task_queue_config
         if gq is not None:
@@ -658,6 +663,7 @@ class VectorIndex:
             self.store,
             hbm_limit_bytes=eff_w.hbm_cache_limit_bytes,
             expire_after_access_s=eff_w.cache_expire_after_access_s,
+            metric_attributes=config.metric_attributes,
         )
         self.build_service = SegmentBuildService(config, self.store)
         self.maintenance = MaintenanceService(
@@ -970,6 +976,19 @@ class VectorIndex:
             segments = [s for s in segments if s.meta.segment_id % n_shards == shard]
         per_seg_limit = max(k, k * max(1, self.config.oversample))
         nq = qs.shape[0]
+        # Pad the DEVICE batch to a bucketed row count (config.
+        # query_batch_pad): every distinct Q is its own XLA program (a fresh
+        # ~20-40 s compile through the axon tunnel), so ragged client batches
+        # and QueryBatcher coalescing (any Q in 1..max_batch) would otherwise
+        # compile-storm the chip. Buckets are query_batch_pad doubled up to
+        # the batch size => O(log Q) programs ever compile. Pad rows are
+        # zero queries, sliced off right after the merged planes come back —
+        # they never reach result construction.
+        nq_dev = self._query_pad_bucket(nq)
+        if nq_dev != nq:
+            qs = np.concatenate(
+                [qs, np.zeros((nq_dev - nq, qs.shape[1]), np.float32)]
+            )
 
         brute_segs: list[Segment] = []
         sealed_segs: list[Segment] = []
@@ -987,9 +1006,19 @@ class VectorIndex:
             # WRITING: invisible (reference :646-649)
 
         if self.config.effective.prefetch_codebooks_enabled and sealed_segs:
-            # In-process prefetch is synchronous either way; the sync flag is
-            # honored for API parity (reference :377-416).
-            self.caches.prefetch_codebooks(sealed_segs)
+            # reference :377-416: sync prefetch blocks the query until the
+            # codebooks are resident; async (the default) warms them on the
+            # executor while this query proceeds — get_codebook loads on
+            # miss either way, so async only trades first-query latency
+            if self.config.effective.prefetch_codebooks_sync:
+                self.caches.prefetch_codebooks(sealed_segs)
+            elif any(
+                seg._codebook_dev is None and seg.codebook_np is not None
+                for seg in sealed_segs
+            ):
+                self._executor().submit(
+                    self.caches.prefetch_codebooks, sealed_segs
+                )
         # LRU bookkeeping for the HBM residency budget (reference analogue:
         # Caffeine expireAfterAccess/maximumSize, cache/SegmentCaches.java)
         self.caches.touch(brute_segs + sealed_segs)
@@ -1014,6 +1043,7 @@ class VectorIndex:
                     qd, stack.vectors, stack.alive, base,
                     k=min(per_seg_limit, cap * len(group)),
                     metric=self.config.metric, n_per_seg=cap,
+                    xn2=stack.xn2,
                 )
             )
 
@@ -1135,7 +1165,7 @@ class VectorIndex:
             # ranking, so the global top-pool merged once equals the merged
             # per-segment pools, for ONE [Q, S*N] matmul + one top-k + one
             # re-rank instead of S of each.
-            approx_bytes = len(group) * nq * group[0].cap_pad * 4
+            approx_bytes = len(group) * nq_dev * group[0].cap_pad * 4
             if (
                 (self.config.unified_search or gexact)
                 and len(group) > 1
@@ -1179,6 +1209,7 @@ class VectorIndex:
                             qd, stack.vectors, stack.codebooks, stack.codes,
                             stack.adjacency_global, stack.exists, stack.alive,
                             u_ef, u_beam, base,
+                            xn2_s=stack.xn2 if gexact else None,
                             ef_buf=u_ef_buf, beam_buf=u_beam_buf,
                             max_steps=u_ef_buf, min_steps=min_steps,
                             refine_frontier=refine,
@@ -1300,6 +1331,10 @@ class VectorIndex:
             else:
                 top_s, top_d, vid_of, slot_of = _merge_entries_host(entries, k)
 
+            if top_s.shape[0] != nq:  # drop the jit-padding rows
+                top_s, top_d = top_s[:nq], top_d[:nq]
+                vid_of, slot_of = vid_of[:nq], slot_of[:nq]
+
             gid_of = np.full(slot_of.shape, -1, np.int64)
             for si, seg in enumerate(seg_list):
                 mask = (slot_of == si) & (vid_of >= 0)
@@ -1400,6 +1435,18 @@ class VectorIndex:
                 np.full((nq, k), np.inf, np.float32),
             )
         return results
+
+    def _query_pad_bucket(self, nq: int) -> int:
+        """Bucketed device-batch row count: config.query_batch_pad doubled
+        until it covers nq (log2 many distinct compiled batch shapes).
+        query_batch_pad <= 1 disables padding."""
+        p = self.config.query_batch_pad
+        if p <= 1:
+            return nq
+        b = p
+        while b < nq:
+            b *= 2
+        return b
 
     # -- auto-tune (verbatim formulas, reference :772-784) --------------------
 
@@ -1529,10 +1576,12 @@ class VectorIndex:
             return
         LOG.warning(
             "graph-traversal query path selected on TPU (mode=BEAM, "
-            "sealed_search_mode='graph', or RANDOM_PIVOTS): expect ~10-20x "
-            "lower QPS than sealed_search_mode='flat'/'exact' at the same "
-            "recall — the frontier gather is element-serial on TPU "
-            "(this warning is logged once)"
+            "sealed_search_mode='graph', or RANDOM_PIVOTS): DEPRECATED for "
+            "TPU serving — expect ~10-20x lower QPS than "
+            "sealed_search_mode='flat'/'exact' at the same recall (the "
+            "frontier gather is element-serial on TPU; see the "
+            "sealed_search_mode config note). Parity behavior is kept; "
+            "this warning is logged once"
         )
 
     def _warn_graphless_once(self) -> None:

@@ -61,6 +61,7 @@ class SealedStack:
         self.exists = jnp.stack([s.exists_dev for s in segments])
         self.alive = jnp.stack([s.alive_dev for s in segments])
         s_count = len(segments)
+        self._xn2 = None
         if lean:
             self.codes = jnp.zeros((s_count, 1, 1), jnp.uint8)
             self.codebooks = jnp.zeros((s_count, 1, 1, 1), jnp.float32)
@@ -88,6 +89,16 @@ class SealedStack:
             self.exists = jnp.stack([s.exists_dev for s in self.segments])
             self.alive = jnp.stack([s.alive_dev for s in self.segments])
             self._flag_versions = current
+
+    @property
+    def xn2(self):
+        """Cached f32[S, N] squared norms of the stacked vectors, computed
+        once per stack snapshot: the exact kernel's column terms are pure
+        geometry (validity folds in at call time), so stacking amortizes the
+        [S, N, D] read over every query batch served from this snapshot."""
+        if self._xn2 is None:
+            self._xn2 = jnp.sum(self.vectors * self.vectors, axis=-1)
+        return self._xn2
 
     @property
     def adjacency_global(self):
@@ -125,6 +136,7 @@ class BruteStack:
             vecs.append(jnp.zeros((extra * cap, dim), vecs[0].dtype))
         self.vectors = jnp.concatenate(vecs, axis=0)
         self.alive = self._stack_alive()
+        self._xn2 = None
 
     def _stack_alive(self) -> jax.Array:
         alive = [s.alive_dev for s in self.segments]
@@ -132,6 +144,13 @@ class BruteStack:
             extra = self._n_pad - len(self.segments)
             alive.append(jnp.zeros(extra * self.cap_pad, bool))
         return jnp.concatenate(alive, axis=0)
+
+    @property
+    def xn2(self):
+        """Cached f32[S_pad * cap] squared norms (see SealedStack.xn2)."""
+        if self._xn2 is None:
+            self._xn2 = jnp.sum(self.vectors * self.vectors, axis=-1)
+        return self._xn2
 
     def refresh_flags(self) -> None:
         """Tombstone-only restack of the alive plane (see

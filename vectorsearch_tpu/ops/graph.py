@@ -91,6 +91,8 @@ def _knn_block_fused(
     l: int,
     ef: int,
     interpret: bool = False,
+    xn2: jax.Array | None = None,  # f32[N] cached norms (once per BUILD,
+    # not per block — the kernel otherwise re-derives them every block call)
 ) -> tuple[jax.Array, jax.Array]:
     """Top-l candidates via the fused exact binned-pool kernel
     (ops/pallas/exact.py): scores reduce to per-bin (max, argmax) in VMEM, so
@@ -104,7 +106,7 @@ def _knn_block_fused(
 
     idx = exact_pool_topk_pallas(
         block_vecs, vectors, valid, ef_buf=ef, metric="L2",
-        interpret=interpret,
+        interpret=interpret, xn2=xn2,
     )  # i32[B, ef], -1 = empty
     safe = jnp.maximum(idx, 0)
     cand = vectors[safe]  # [B, ef, D]
@@ -151,6 +153,7 @@ def knn_candidates(
         # MXU still sees [512, D] x [D, T] tiles, far past its break-even
         row_block = min(row_block, 512)
         ef = max(128, 1 << (int(l_eff) + 1 - 1).bit_length())
+        xn2 = jnp.sum(vectors * vectors, axis=1)  # shared across all blocks
     idx_out = []
     d2_out = []
     for start in range(0, n, row_block):
@@ -158,7 +161,7 @@ def knn_candidates(
         if fused:
             bi, bd = _knn_block_fused(
                 vectors[start:stop], ids[start:stop], vectors, valid, l_eff,
-                ef, interpret=interpret,
+                ef, interpret=interpret, xn2=xn2,
             )
         else:
             bi, bd = _knn_block(

@@ -80,26 +80,34 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
 
 
 def _pool_kernel(
-    q_ref, x_ref, valid_ref, outs_ref, outi_ref,
-    *, tile_n, chunk, bins, metric,
+    q_ref, x_ref, aux_ref, outs_ref, outi_ref,
+    *, tile_n, chunk, bins, metric, fold,
 ):
     """One grid step: scores of a [Qp, TILE_N] tile -> per-bin (max, argmax),
     looping over CHUNK-column sub-blocks so the score block stays small.
 
-    q_ref:     f32[Qp, D]    (whole batch, VMEM-resident across steps)
+    q_ref:     f32[Qp, D]   (whole batch, VMEM-resident across steps;
+               PRE-DOUBLED by the wrapper for L2 so the epilogue is one sub)
     x_ref:     f32[TILE_N, D]
-    valid_ref: i32[1, TILE_N] (1 = alive; wrapper pads the tail with 0s, so
-               the garbage columns of a non-divisible last tile never win)
+    aux_ref:   f32[1|2, TILE_N] precomputed per-row column terms with
+               validity folded in (see exact_bin_pool) — replaces both the
+               in-kernel ||x||^2 reduce and the valid-mask select, the two
+               VPU passes that dominated the per-chunk epilogue
     outs_ref:  f32[Qp, BINS_T] per-bin max RANKING score (higher = closer)
     outi_ref:  i32[Qp, BINS_T] global row id of each bin max
+
+    ``fold`` merges FOLD consecutive tiles into one output block via output
+    revisiting (index_map i -> i // fold): the [Q, W] pool written to HBM —
+    which at Q=512, N=1M was 512 MB of (score, id) pairs, as large as the
+    input itself — shrinks fold-x, and stage 2 reads fold-x less. The
+    estimator degrades exactly like wider bins (collision of two true top-k
+    rows within a merged bin group).
 
     Precision: q and each x chunk are split hi/lo into bf16 and crossed in
     three MXU passes (hi*hi + hi*lo + lo*hi, f32 accumulation) — ~2^-16
     relative error on the scores vs bf16's 2^-8. The scores leave the kernel
     and ARE the final ranking + reconstructed distances (exact_finalize):
-    there is no re-rank gather behind them to absorb rounding. The dropped
-    lo*lo term and the MXU time of the extra passes are both ~negligible
-    (the kernel is step-overhead/VPU-bound, not MXU-bound).
+    there is no re-rank gather behind them to absorb rounding.
     """
     nt = pl.program_id(0)
     qf = q_ref[:]
@@ -126,18 +134,15 @@ def _pool_kernel(
             qlo, xhi, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )  # [Qp, CHUNK]
-        # the column term comes from the VMEM-resident tile: no HBM reads
         if metric == "COSINE":
-            xn2 = jnp.sum(xf * xf, axis=1)[None, :]  # [1, CHUNK]
-            inv = jnp.where(
-                xn2 == 0.0, 0.0,
-                jax.lax.rsqrt(jnp.where(xn2 == 0.0, 1.0, xn2)),
+            # s = (q.x) * 1/||x|| + bias  (bias = -inf kills invalid rows)
+            s = (
+                cross * aux_ref[0, c * chunk : (c + 1) * chunk][None, :]
+                + aux_ref[1, c * chunk : (c + 1) * chunk][None, :]
             )
-            s = cross * inv
         else:
-            s = 2.0 * cross - jnp.sum(xf * xf, axis=1)[None, :]
-        vc = valid_ref[0, c * chunk : (c + 1) * chunk]
-        s = jnp.where(vc[None, :] != 0, s, -jnp.inf)
+            # q pre-doubled: s = 2 q.x - xadj, xadj = ||x||^2 (+inf invalid)
+            s = cross - aux_ref[0, c * chunk : (c + 1) * chunk][None, :]
 
         # Running (max, arg) over static lane-aligned [Qp, BINS_T] column
         # slices: bin b = columns {g*BINS_T + b}. Pure elementwise VPU work —
@@ -150,12 +155,45 @@ def _pool_kernel(
             a = jnp.where(better, g, a)
             g += 1
     lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    outs_ref[:] = m
-    outi_ref[:] = nt * tile_n + a * bins + lane
+    ids = nt * tile_n + a * bins + lane
+    if fold == 1:
+        outs_ref[:] = m
+        outi_ref[:] = ids
+    else:
+        # output revisiting: fold consecutive tiles merge in VMEM; the block
+        # flushes to HBM only when the output index advances
+        @pl.when(nt % fold == 0)
+        def _():
+            outs_ref[:] = m
+            outi_ref[:] = ids
+
+        @pl.when(nt % fold != 0)
+        def _():
+            prev = outs_ref[:]
+            better = m > prev
+            outs_ref[:] = jnp.where(better, m, prev)
+            outi_ref[:] = jnp.where(better, ids, outi_ref[:])
+
+
+def _auto_fold(w_raw: int, requested: int | None) -> int:
+    """Fold factor for output revisiting: merge tiles until the pool is
+    ~16k bins wide. Measured on chip (benchmarks/probe_exact_v3.py, r4):
+    the (score, id) pool write was ~1.2 ms of the 2.76 ms stage-1 time at
+    Q=512/N=1M (fold8 -> 1.51 ms), and at W<=16k stage 2 can afford an
+    EXACT lax.top_k (2.0 ms — the same cost approx_max_k rt=0.99 charges at
+    any width), removing stage-2 recall loss entirely. Collision loss of
+    the wider bins measured 0 on the sift1m gate (expected ~45/W per query
+    uniform). Capped at 8: per-group VMEM residency stops paying past that."""
+    if requested is not None:
+        return requested
+    f = 1
+    while f < 8 and w_raw // f > 16384:
+        f *= 2
+    return f
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "tile_n", "interpret")
+    jax.jit, static_argnames=("metric", "tile_n", "interpret", "fold")
 )
 def exact_bin_pool(
     q: jax.Array,  # f32[Q, D]
@@ -164,42 +202,73 @@ def exact_bin_pool(
     metric: str = "L2",
     tile_n: int | None = None,
     interpret: bool = False,
+    xn2: jax.Array | None = None,  # f32[N] precomputed squared norms
+    fold: int | None = None,
 ):
     """Stage 1: fused scan + binned reduction -> (scores f32[Q, W],
-    row ids i32[Q, W]) with W = ceil(N/tile) * 128 bins. Invalid rows and
-    the padded tail can never win a bin unless the whole bin is dead
-    (-inf)."""
+    row ids i32[Q, W]) with W = ceil(ceil(N/tile)/fold) * bins. Invalid rows
+    and the padded tail can never win a bin unless the whole bin is dead
+    (-inf).
+
+    ``xn2``: optional precomputed sum(x*x, axis=1). Segment stacks cache it
+    (core/stack.py) so the wrapper's column-term precompute costs one [N]
+    elementwise pass instead of re-reading the [N, D] table; when absent it
+    is computed here (one extra HBM pass over x)."""
     qn, d = q.shape
     n = x.shape[0]
     qp = max(8, -(-qn // 8) * 8)
     tile, chunk = _auto_tile(qp, d, tile_n)
     # One [Qp, 128*(tile/1024)] bin row per tile. 128 bins/tile at tile=4096
-    # would quarter the pool width (stage 2 is the measured bottleneck — see
-    # exact_pool_scored_pallas) but that kernel variant reliably WEDGES the
-    # Mosaic compile server-side (>9 min, twice); the 2.5x-unroll shape
-    # compiles in ~16 s. Pool-width reduction happens at stage 2 instead.
+    # would quarter the pool width but that kernel variant reliably WEDGES
+    # the Mosaic compile server-side (>9 min, twice); pool-width reduction
+    # happens via output-revisit folding instead (same VMEM shape).
     bins = _BINS * max(1, tile // 1024)
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
     nn = -(-n // tile)
-    w = nn * bins
-    # explicit zero-padding of the mask to a whole number of tiles: the
-    # kernel sees fully-defined valid blocks, so no per-element column-id
-    # compare is needed to kill the garbage tail of the last x block
-    valid_i = jnp.pad(valid.astype(jnp.int32), (0, nn * tile - n))[None, :]
+    f = _auto_fold(nn * bins, fold)
+    ng = -(-nn // f)
+    w = ng * bins
+    # column terms precomputed OUTSIDE the kernel (one [N]-sized pass) with
+    # validity folded in: the kernel epilogue is a single VPU op per chunk
+    # instead of the norm-reduce + mul + sub + mask select it replaced
+    if xn2 is None:
+        xf32 = x.astype(jnp.float32)
+        xn2 = jnp.sum(xf32 * xf32, axis=1)
+    pad_n = nn * tile - n
+    if metric == "COSINE":
+        nz = valid & (xn2 > 0.0)
+        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, xn2, 1.0)), 0.0)
+        bias = jnp.where(valid, 0.0, -jnp.inf)
+        aux = jnp.stack([
+            jnp.pad(inv, (0, pad_n)),
+            jnp.pad(bias, (0, pad_n), constant_values=-jnp.inf),
+        ])
+        q_in = q.astype(jnp.float32)
+    else:
+        xadj = jnp.where(valid, xn2, jnp.inf)
+        aux = jnp.pad(xadj, (0, pad_n), constant_values=jnp.inf)[None, :]
+        q_in = q.astype(jnp.float32) * 2.0  # folds the 2x into the matmul
     outs, outi = pl.pallas_call(
         functools.partial(
-            _pool_kernel, tile_n=tile, chunk=chunk, bins=bins, metric=metric
+            _pool_kernel, tile_n=tile, chunk=chunk, bins=bins, metric=metric,
+            fold=f,
         ),
         grid=(nn,),
         in_specs=[
             pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (aux.shape[0], tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qp, bins), lambda i: (0, i // f), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (qp, bins), lambda i: (0, i // f), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((qp, w), jnp.float32),
@@ -207,11 +276,11 @@ def exact_bin_pool(
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * qp * nn * tile * d,
-            bytes_accessed=n * d * 4 + qp * d * 4 + qp * w * 8,
+            bytes_accessed=n * d * 4 + n * 4 + qp * d * 4 + qp * w * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q.astype(jnp.float32), x, valid_i)
+    )(q_in, x, aux.astype(jnp.float32))
     return outs[:qn], outi[:qn]
 
 
@@ -236,6 +305,7 @@ def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
     jax.jit,
     static_argnames=(
         "ef_buf", "metric", "tile_n", "interpret", "stage2_rt", "stage2_halve",
+        "fold",
     ),
 )
 def exact_pool_scored_pallas(
@@ -249,6 +319,8 @@ def exact_pool_scored_pallas(
     interpret: bool = False,
     stage2_rt: float = 0.99,
     stage2_halve: int = 0,
+    xn2: jax.Array | None = None,
+    fold: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact candidate pool WITH its rank scores:
     (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
@@ -258,7 +330,8 @@ def exact_pool_scored_pallas(
     ops/traversal.exact_finalize can reconstruct true distances from them
     with no candidate-row gather."""
     outs, outi = exact_bin_pool(
-        q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret
+        q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret,
+        xn2=xn2, fold=fold,
     )
     if stage2_halve:
         outs, outi = _halve_pool(outs, outi, stage2_halve)
@@ -271,12 +344,15 @@ def exact_pool_scored_pallas(
             neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             pos = jnp.pad(pos, ((0, 0), (0, pad)))
     else:
-        # stage 2 over the ~8x-smaller pool. rt=0.99 is the measured v5e
-        # sweet spot at W=125k/Q=512/N=1M: the whole exact path runs 7.2 ms
-        # at recall@10 0.9988 vs 22.1 ms at rt=0.999 (recall 1.000) — AND
-        # the rt=0.999 variant took 300 s to COMPILE (it repeatedly read as
-        # a wedged tunnel). Callers needing the last 0.1% of recall pass
-        # stage2_rt=0.999 and eat both costs knowingly.
+        # stage 2 over the FOLDED pool (W ~16k after _auto_fold). Measured
+        # composed at the sift1m shape (benchmarks/probe_exact_v2.py, r4):
+        # an exact lax.top_k here costs ~4.3 ms IN COMPOSITION (its 2.0 ms
+        # standalone reading misleads — CLAUDE.md: trust composed deltas),
+        # while approx_max_k rt=0.99 composes at ~1.9 ms; bin-collision
+        # loss at W=15.6k measured ZERO (fold8+top_k read recall 1.00000),
+        # so stage-2's rt is the only recall knob left. rt=0.99 holds the
+        # path at recall 0.9996 ("1.00" headline); rt=0.95 saves ~1 ms more
+        # at 0.9986 for callers that opt in via stage2_rt.
         neg, pos = jax.lax.approx_max_k(outs, ef_buf, recall_target=stage2_rt)
     rows = jnp.take_along_axis(outi, pos, axis=1)
     ok = neg > -jnp.inf
@@ -295,12 +371,13 @@ def exact_pool_topk_pallas(
     metric: str = "L2",
     tile_n: int | None = None,
     interpret: bool = False,
+    xn2: jax.Array | None = None,
 ) -> jax.Array:
     """Fused exact candidate pool -> i32[Q, ef_buf] row ids (-1 = empty).
     Drop-in for the XLA pairwise_rank_scores + approx_max_k pool."""
     return exact_pool_scored_pallas(
         q, x, valid, ef_buf=ef_buf, metric=metric, tile_n=tile_n,
-        interpret=interpret,
+        interpret=interpret, xn2=xn2,
     )[1]
 
 

@@ -24,6 +24,7 @@ def brute_force_topk(
     valid: jax.Array,  # bool[N] — live (non-tombstoned, in-range) rows
     k: int,
     metric: str = "L2",
+    xn2: jax.Array | None = None,  # f32[N] cached squared norms (stacks)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """kNN over a masked vector table. Exact (full sort) below ~16k rows;
     larger TPU tables route through the fused binned-pool kernel with a 4x
@@ -35,7 +36,7 @@ def brute_force_topk(
     """
     n = x.shape[0]
     if k > n:  # fewer rows than requested: return them all, pad the rest
-        s, d, i = brute_force_topk(q, x, valid, n, metric)
+        s, d, i = brute_force_topk(q, x, valid, n, metric, xn2)
         pad = ((0, 0), (0, k - n))
         return (
             jnp.pad(s, pad, constant_values=-jnp.inf),
@@ -51,7 +52,7 @@ def brute_force_topk(
     # oversampled 4x past k — exactly the sealed exact path's ef sizing —
     # and exact_finalize truncates back to k: a true top-k row is lost only
     # if >4k of the true neighbors collide into losing bins, measured
-    # recall 1.0 at k=10 (tests/test_pallas_exact.py fused-brute gate).
+    # recall 1.0 at k=10 (tests/test_exact_pallas.py fused-brute gate).
     ef_buf = 32
     while ef_buf < min(max(4 * k, 32), n):
         ef_buf *= 2
@@ -61,7 +62,7 @@ def brute_force_topk(
         from vectorsearch_tpu.ops import traversal as traversal_ops
 
         ps, pi = pallas_exact.exact_pool_scored_pallas(
-            q, x, valid, ef_buf=ef_buf, metric=metric
+            q, x, valid, ef_buf=ef_buf, metric=metric, xn2=xn2
         )
         return traversal_ops.exact_finalize(q, ps, pi, k, metric)
     scores, distances = dist_ops.scores_from_distances(metric, q, x)
