@@ -27,10 +27,12 @@ def test_defaults_match_reference():
     assert c.effective.vacuum_min_deleted_ratio == 0.25
     assert c.effective.vacuum_cooldown_s == 0.0
     assert c.effective.max_concurrent_compactions == 1
-    assert c.effective.build_chunk_limit_bytes == 10 * 1024 * 1024
-    assert c.effective.build_chunk_soft_limit_ratio == 0.9
-    assert c.effective.build_size_check_every == 32
-    assert c.effective.codebook_batch_load_size == 10_000
+    # buildTxn*/batchLoadSize/estimatedWorkerCount knobs are deliberately
+    # absent: the TPU design has no FDB txn budget or range-read batching
+    # (see config.py doc note, VERDICT r3 #5)
+    assert not hasattr(c.effective, "build_chunk_limit_bytes")
+    assert not hasattr(c.effective, "codebook_batch_load_size")
+    assert not hasattr(c.effective, "estimated_worker_count")
     assert c.effective.compaction_min_segments == 2
     assert c.effective.compaction_max_segments == 8
     assert c.effective.compaction_min_fragmentation == 0.1
@@ -54,23 +56,17 @@ def test_defaults_match_reference():
         (dict(oversample=0), "oversample"),
         (dict(local_worker_threads=-1), "localWorkerThreads"),
         (dict(local_maintenance_worker_threads=-1), "localMaintenanceWorkerThreads"),
-        (dict(estimated_worker_count=0), "estimatedWorkerCount"),
         (dict(max_concurrent_compactions=-1), "maxConcurrentCompactions"),
         (dict(vacuum_cooldown_s=-1.0), "vacuumCooldown"),
         (dict(vacuum_min_deleted_ratio=1.5), "vacuumMinDeletedRatio"),
         (dict(default_ttl_s=0), "defaultTtl"),
         (dict(default_throttle_s=-1), "defaultThrottle"),
-        (dict(codebook_batch_load_size=0), "codebookBatchLoadSize"),
-        (dict(adjacency_batch_load_size=0), "adjacencyBatchLoadSize"),
         (dict(compaction_min_segments=1), "compactionMinSegments"),
         (dict(compaction_max_segments=2, compaction_min_segments=4), "compactionMaxSegments"),
         (dict(compaction_min_fragmentation=2.0), "compactionMinFragmentation"),
         (dict(compaction_age_bias_weight=-1.0), "compactionAgeBiasWeight"),
         (dict(compaction_size_bias_weight=-0.1), "compactionSizeBiasWeight"),
         (dict(compaction_frag_bias_weight=-0.1), "compactionFragBiasWeight"),
-        (dict(build_chunk_limit_bytes=0), "buildTxnLimitBytes"),
-        (dict(build_chunk_soft_limit_ratio=1.0), "buildTxnSoftLimitRatio"),
-        (dict(build_size_check_every=0), "buildSizeCheckEvery"),
         (dict(metric="HAMMING"), "metric"),
         (dict(dimension=10, pq_m=3), "divisible"),
     ],

@@ -59,7 +59,7 @@ class SegmentBuildService:
 
     def build(self, seg_id: int) -> None:
         t0 = time.monotonic()
-        metrics = get_registry()
+        metrics = get_registry(self.config.metric_attributes)
         with self.store.lock:
             seg = self.store.segments.get(seg_id)
             device = seg.device if seg is not None else None

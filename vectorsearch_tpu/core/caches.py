@@ -28,13 +28,14 @@ from vectorsearch_tpu.utils.metrics import get_registry
 
 class SegmentCaches:
     def __init__(self, store, hbm_limit_bytes: int = 0,
-                 expire_after_access_s: float = 0.0):
+                 expire_after_access_s: float = 0.0,
+                 metric_attributes: dict | None = None):
         self.store = store
         self.hbm_limit_bytes = hbm_limit_bytes
         self.expire_after_access_s = expire_after_access_s
         self._lock = threading.Lock()
         self._last_access: dict[int, float] = {}  # seg_id -> monotonic
-        self._metrics = get_registry()
+        self._metrics = get_registry(metric_attributes)
 
     # ---------------------------------------------------------------- codebook
 

@@ -53,7 +53,7 @@ class MaintenanceService:
         foreign = self.store.live_foreign_writers()
         if not foreign:
             return False
-        get_registry().inc(
+        get_registry(self.config.metric_attributes).inc(
             "vectorsearch.maintenance.refused_foreign_writer",
             attrs={"op": what},
         )
@@ -95,7 +95,7 @@ class MaintenanceService:
     def vacuum_segment(self, seg_id: int, min_ratio: Optional[float] = None) -> int:
         """Removes tombstoned rows' data; returns number removed."""
         t0 = time.monotonic()
-        metrics = get_registry()
+        metrics = get_registry(self.config.metric_attributes)
         cfg = self.config
         if min_ratio is None:
             min_ratio = cfg.effective.vacuum_min_deleted_ratio
@@ -139,6 +139,7 @@ class MaintenanceService:
                 self.store.checkpoint_segment(seg_id)
                 self.store.checkpoint_state()
                 under_half = seg.meta.count < cfg.max_segment_size / 2
+            self.store.notify_flag_sync([seg_id])  # off the query path
             metrics.inc("vectorsearch.vacuum.run")
             metrics.inc("vectorsearch.vacuum.removed", removed)
             # Half-empty after vacuum -> look for compaction partners (:200-216)
@@ -293,7 +294,7 @@ class MaintenanceService:
 
     def _compact_with_lease(self, seg_ids: list[int]) -> Optional[int]:
         t0 = time.monotonic()
-        metrics = get_registry()
+        metrics = get_registry(self.config.metric_attributes)
         cfg = self.config
         store = self.store
         try:

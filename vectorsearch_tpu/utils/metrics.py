@@ -146,11 +146,49 @@ class MetricsRegistry:
             self._histograms.clear()
 
 
+class ScopedRegistry:
+    """View of a registry that merges fixed base attributes into every
+    emission — the analogue of the reference's `metricAttribute(k, v)`
+    user attributes (config/VectorIndexConfig.java:594-606): components
+    holding a config emit through get_registry(config.metric_attributes) so
+    every counter/histogram (and the OTel mirror) carries the user tags.
+    Per-call attrs override base attrs on key collision."""
+
+    def __init__(self, base: "MetricsRegistry", attrs: dict):
+        self._base = base
+        self._attrs = dict(attrs)
+
+    def _merge(self, attrs: dict | None) -> dict:
+        return {**self._attrs, **(attrs or {})}
+
+    def inc(self, name: str, value: float = 1.0, attrs: dict | None = None) -> None:
+        self._base.inc(name, value, self._merge(attrs))
+
+    def record(self, name: str, value: float, attrs: dict | None = None) -> None:
+        self._base.record(name, value, self._merge(attrs))
+
+    def counter_value(self, name: str, attrs: dict | None = None) -> float:
+        return self._base.counter_value(name, attrs)
+
+    def histogram_values(self, name: str, attrs: dict | None = None) -> list:
+        return self._base.histogram_values(name, attrs)
+
+    def snapshot(self) -> dict:
+        return self._base.snapshot()
+
+    def reset(self) -> None:
+        self._base.reset()
+
+
 #: Global registry (reference uses GlobalOpenTelemetry; tests may reset()).
 GLOBAL = MetricsRegistry()
 
 
-def get_registry() -> MetricsRegistry:
+def get_registry(attrs: dict | None = None):
+    """The global sink, or a scoped view merging ``attrs`` (e.g.
+    config.metric_attributes) into every emission."""
+    if attrs:
+        return ScopedRegistry(GLOBAL, attrs)
     return GLOBAL
 
 
