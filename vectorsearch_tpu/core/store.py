@@ -79,6 +79,45 @@ class VectorStore:
         self._wal_applied: Dict[int, int] = {}
         self._wal_last_txid: Dict[int, Optional[str]] = {}
         self._wal_seq = 0
+        # Background flag-sync: mutations queue packed alive/exists flips on
+        # the segment; without this thread the ~25 ms host->device put lands
+        # on the NEXT query batch's critical path (r3 deep10m residual:
+        # churn-bound QPS scaled with writer rate). Mutators notify the
+        # syncer, which applies seg.sync_device() off the serving path —
+        # queries arriving first still sync inline (idempotent, dev-locked).
+        self._flag_dirty: set[int] = set()
+        self._flag_cv = threading.Condition()
+        self._flag_thread: Optional[threading.Thread] = None
+
+    def notify_flag_sync(self, seg_ids) -> None:
+        """Queues background device-flag syncs for mutated segments."""
+        if not seg_ids:
+            return
+        with self._flag_cv:
+            if self._flag_thread is None:
+                self._flag_thread = threading.Thread(
+                    target=self._flag_sync_loop, daemon=True,
+                    name=f"flag-sync-{self.name}",
+                )
+                self._flag_thread.start()
+            self._flag_dirty.update(seg_ids)
+            self._flag_cv.notify()
+
+    def _flag_sync_loop(self) -> None:
+        while not self._lease_stop.is_set():
+            with self._flag_cv:
+                while not self._flag_dirty and not self._lease_stop.is_set():
+                    self._flag_cv.wait(timeout=0.5)
+                dirty, self._flag_dirty = self._flag_dirty, set()
+            for sid in dirty:
+                seg = self.segments.get(sid)
+                if seg is None or seg.is_stub:
+                    continue
+                try:
+                    seg.sync_device()
+                except Exception:  # device hiccup: the query path will retry
+                    LOG.debug("background flag sync failed for %d", sid,
+                              exc_info=True)
 
     # ---------------------------------------------------------- writer lease
 
@@ -207,8 +246,13 @@ class VectorStore:
         return [o for o, e in leases.items() if o != self.owner_id and e > now]
 
     def close(self) -> None:
-        """Stops the lease keeper and releases the writer lease."""
+        """Stops the lease keeper + flag syncer, releases the writer lease."""
         self._lease_stop.set()
+        with self._flag_cv:
+            self._flag_cv.notify_all()
+        if self._flag_thread is not None:
+            self._flag_thread.join(timeout=2.0)
+            self._flag_thread = None
         if self._lease_keeper is not None:
             self._lease_keeper.join(timeout=2.0)
             self._lease_keeper = None
@@ -778,6 +822,7 @@ class VectorStore:
                         {"op": "del", "vids": np.asarray(flipped, np.int64)},
                     )
                 affected.append(seg_id)
+        self.notify_flag_sync(affected)
         return affected
 
     # ----------------------------------------------------------------- query
