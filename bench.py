@@ -16,9 +16,12 @@ VSTPU_BENCH=ref reproduces the reference's JMH E2E workload instead
 (src/jmh/.../VectorIndexSearchBenchmark.java:29-132: 1100 vectors dim=8,
 maxSegmentSize=500 => 2 SEALED + 1 ACTIVE segments, k=10).
 
-The reference publishes no numbers (BASELINE.md); vs_baseline compares
-against a conservative estimate of the Java reference single-threaded on the
-same workload (~1 ms/query => 1000 QPS).
+The reference publishes no numbers and no JVM exists on this host, so a
+Java-reference denominator cannot be measured (BASELINE.md). vs_baseline is
+therefore the ratio against THIS project's prior-round recorded number for
+the same workload (BENCH_r03 / ROADMAP.md tables) — a real measured
+comparator tracking round-over-round progress — or null for workloads with
+no recorded prior.
 """
 
 import json
@@ -27,7 +30,21 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 1000.0  # estimated single-thread Java reference
+# Prior-round recorded QPS per workload (BENCH_r03.json / ROADMAP.md r3
+# table). The denominator for vs_baseline: measured on this hardware by the
+# round-3 driver run — NOT an estimate of the never-run Java reference.
+PRIOR_RECORDED = {
+    "sift1m": 39195.8,   # BENCH_r03.json
+    "sift100k": 41300.0,  # ROADMAP r3 table
+    "ref": 2000.0,        # ROADMAP r3 (reference JMH shape, this chip)
+    "glove": 16757.0,     # ROADMAP r3 table
+    "deep10m": 976.0,     # ROADMAP r3 table (exact-mode churn)
+}
+
+
+def vs_prior(workload: str, qps: float):
+    prior = PRIOR_RECORDED.get(workload)
+    return None if not prior else round(qps / prior, 2)
 
 # PQ operating point for the sift benches. 16x256 is the reference's default
 # profile; 64x16 is the measured TPU sweet spot (smaller one-hot width per
@@ -151,7 +168,7 @@ def bench_sift100k():
         "metric": f"sift100k_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("sift100k", qps),
     }
 
 
@@ -184,7 +201,7 @@ def bench_sift1m():
         "metric": f"sift1m_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("sift1m", qps),
     }
 
 
@@ -206,7 +223,7 @@ def bench_ref():
         "metric": "e2e_best_first_qps_1100x8_k10_arrays",
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("ref", qps),
     }
 
 
@@ -298,7 +315,7 @@ def bench_glove():
         ),
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("glove", qps),
     }
 
 
@@ -408,7 +425,7 @@ def bench_deep10m():
         ),
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("deep10m", qps),
     }
 
 
@@ -521,7 +538,7 @@ def bench_churn():
         ),
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": vs_prior("churn", qps),
     }
 
 
