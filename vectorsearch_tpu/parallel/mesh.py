@@ -154,21 +154,18 @@ def sharded_flat_query(
         local_rr = min(rr, local_ef)
         if exact:
             # alive mask (not exists): an exact ranking without tombstones
-            # equals dropping them at re-rank. HIGHEST precision + gather-
-            # free finalize: the shard's rank scores ARE the final ranking
-            # and distances (core/index._sealed_exact_pool_scored — rank
-            # scores are per-query-shift-invariant, so scores re-ranked
-            # across shards after the all-gather stay globally comparable).
-            neg_scores = distance_ops.pairwise_rank_scores(
-                q, vectors, alive, metric,
-                precision=jax.lax.Precision.HIGHEST,
+            # equals dropping them at re-rank. Same scored-pool machinery as
+            # the single-chip path (core/index._sealed_exact_pool_scored):
+            # on a real TPU mesh the fused Pallas binned-pool kernel engages
+            # per shard (its backend gate keeps the virtual-CPU dryrun on
+            # the XLA pool, which is also what multi-chip CI can exercise);
+            # rank scores are per-query-shift-invariant, so shard pools
+            # re-ranked after the all-gather stay globally comparable.
+            from vectorsearch_tpu.core.index import _sealed_exact_pool_scored
+
+            ps, pi = _sealed_exact_pool_scored(
+                q, vectors, alive, ef_buf=local_ef, metric=metric
             )
-            neg, idx = jax.lax.approx_max_k(
-                neg_scores, local_ef, recall_target=0.99
-            )
-            ok = neg > -jnp.inf
-            ps = jnp.where(ok, neg, -jnp.inf)
-            pi = jnp.where(ok, idx.astype(jnp.int32), -1)
             sc, di, iv = traversal_ops.exact_finalize(
                 q, ps, pi, local_rr, metric
             )
