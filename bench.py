@@ -5,9 +5,10 @@ Default workload (VSTPU_BENCH=sift1m): the BASELINE.json north-star shape —
 the full VectorIndex API. Default sealed mode is "exact" (raw-vector MXU
 scan): the round-3 interleaved A/B (benchmarks/ab_sift1m.py) measured exact
 at 37.1k QPS @ recall 0.995 / 5 s build vs flat (PQ/ADC) at 8.9k QPS @ 0.994
-/ 110 s build on this workload — exact is the measured winner for <=~2M-row
-indexes and the documented recommendation (README); flat remains the config
-default because PQ is what scales past HBM (10M+ rows). Clustered data
+/ 110 s build on this workload — and the r4 deep10m capture (exact 2,902
+QPS / 61 s build vs flat 1,226 / 381 s at 10M rows) makes exact the
+measured winner at every HBM-resident scale probed; flat remains the
+config default because PQ is what scales PAST HBM (~25M+ rows at d=128). Clustered data
 (Gaussian clusters) stands in for SIFT1M structure since the real dataset
 can't be downloaded here (zero egress). VSTPU_BENCH=sift100k runs the
 single-segment 100k variant.
