@@ -132,3 +132,71 @@ def test_requested_nonstandard_tile_returns_correct_ids(rng):
         got = -neg[i][idx[i] >= 0]
         want = ref[i][idx[i][idx[i] >= 0]]
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_adc_fold_merges_tiles(rng):
+    """Output-revisit folding on the ADC pool: same winners as a post-hoc
+    merge of the unfolded pool, ids intact across tile boundaries (the
+    exact-kernel fold test's ADC twin)."""
+    n = 512 * 3 + 77
+    cb, codes, q = _setup(rng, n)
+    valid = np.ones(n, bool)
+    valid[40:60] = False
+    lut = pq_ops.build_lut(q, cb)
+    s1, i1 = pa.adc_bin_pool(lut, codes, jnp.asarray(valid), tile_n=512,
+                             interpret=True, fold=1)
+    s2, i2 = pa.adc_bin_pool(lut, codes, jnp.asarray(valid), tile_n=512,
+                             interpret=True, fold=2)
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    bins = 128
+    assert s2.shape[1] * 2 == s1.shape[1]
+    for j in range(s2.shape[1] // bins):
+        a = s1[:, (2 * j) * bins : (2 * j + 1) * bins]
+        hi = (2 * j + 2) * bins
+        b = (s1[:, (2 * j + 1) * bins : hi]
+             if (2 * j + 1) * bins < s1.shape[1]
+             else np.full_like(a, -np.inf))
+        want = np.maximum(a, b)
+        np.testing.assert_array_equal(s2[:, j * bins : (j + 1) * bins], want)
+    returned = set(i2[np.isfinite(s2)].ravel().tolist())
+    assert not (returned & set(range(40, 60)))
+    assert all(0 <= v < n for v in returned)
+
+
+def test_adc_scan_pallas_interpret_matches_xla(rng):
+    """The full-scan kernels (fast bf16, precise hi/lo, fused scores) in
+    interpret mode vs the XLA adc_scan reference — these compiled-only
+    paths were previously untested off-TPU (coverage r4)."""
+    n = 512 + 130  # non-divisible tail
+    cb, codes, q = _setup(rng, n, qn=8)
+    valid = np.ones(n, bool)
+    valid[5:9] = False
+    lut = pq_ops.build_lut(q, cb)
+    ref = np.asarray(pq_ops.adc_scan(lut, codes, jnp.asarray(valid)))
+
+    fast = np.asarray(pa.adc_scan_pallas(
+        lut, codes, jnp.asarray(valid), tile_n=128, interpret=True))
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(fast[:, valid], ref[:, valid], rtol=2e-2,
+                               atol=2e-2)
+    assert np.isinf(fast[:, ~valid]).all()
+
+    precise = np.asarray(pa.adc_scan_pallas(
+        lut, codes, jnp.asarray(valid), tile_n=128, interpret=True,
+        precise=True))
+    np.testing.assert_allclose(precise[:, valid], ref[:, valid], rtol=2e-4,
+                               atol=2e-4)
+    # precise (hi/lo two-pass) must beat bf16 single-pass accuracy
+    err_fast = np.abs(fast[:, valid] - ref[:, valid]).mean()
+    err_precise = np.abs(precise[:, valid] - ref[:, valid]).mean()
+    assert err_precise < err_fast
+
+    neg = np.asarray(pa.adc_scan_scores_pallas(
+        lut, codes, jnp.asarray(valid), tile_n=128, interpret=True))
+    assert neg.shape[1] >= n and neg.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        -neg[:, :n][:, valid].astype(np.float32), ref[:, valid],
+        rtol=2e-2, atol=2e-2,
+    )
+    assert np.isneginf(neg[:, :n][:, ~valid].astype(np.float32)).all()
+    assert np.isneginf(neg[:, n:].astype(np.float32)).all()  # tile padding

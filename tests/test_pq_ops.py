@@ -149,3 +149,25 @@ def test_zero_codebook():
     cb = pq.zero_codebook(4, 16, 2)
     assert cb.shape == (4, 16, 2)
     assert np.all(np.asarray(cb) == 0.0)
+
+
+def test_jaxcache_enable_branches(tmp_path, monkeypatch):
+    """enable_persistent_cache: explicit path, env default, and the
+    VSTPU_COMPILE_CACHE=off opt-out (coverage r4: the module only ran on
+    the TPU bench path before)."""
+    import jax
+
+    from vectorsearch_tpu.utils import jaxcache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        jaxcache.enable_persistent_cache(str(tmp_path / "c"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+        monkeypatch.setenv("VSTPU_COMPILE_CACHE", str(tmp_path / "d"))
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "d")
+        monkeypatch.setenv("VSTPU_COMPILE_CACHE", "off")
+        jaxcache.enable_persistent_cache(str(tmp_path / "e"))  # no-op
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "d")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -108,13 +108,16 @@ def _auto_tile(qn: int, mk: int, requested: int | None) -> int:
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "precise"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "precise", "interpret")
+)
 def adc_scan_pallas(
     lut: jax.Array,  # f32[Q, M, K]
     codes: jax.Array,  # u8[N, M] (N must be a multiple of tile_n; pad first)
     valid: jax.Array,  # bool[N]
     tile_n: int | None = None,
     precise: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Full ADC scan -> approx dists f32[Q, N]; invalid rows = +inf.
 
@@ -144,6 +147,7 @@ def adc_scan_pallas(
             bytes_accessed=n_pad * m + qn * m * k * 4 + qn * n_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )
     codes_spec = pl.BlockSpec((tile_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if precise:
@@ -171,12 +175,13 @@ def adc_scan_pallas(
     return jnp.where(valid[None, :], out, jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def adc_scan_scores_pallas(
     lut: jax.Array,  # f32[Q, M, K]
     codes: jax.Array,  # u8[N, M]
     valid: jax.Array,  # bool[N]
     tile_n: int | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused flat-path ADC scan -> NEGATED scores bf16[Q, N_pad] (higher =
     closer); invalid rows AND tile-padding columns are -inf, so the output
@@ -216,6 +221,7 @@ def adc_scan_scores_pallas(
             bytes_accessed=n_pad * m + qn * m * k * 2 + qn * n_pad * 2,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(lut_flat, kidx, valid_i, codes)
 
 
@@ -267,7 +273,7 @@ def _auto_pool_tile(
 
 def _adc_pool_kernel(
     lut_ref, kidx_ref, valid_ref, codes_ref, outs_ref, outi_ref,
-    *, tile_n, chunk, bins,
+    *, tile_n, chunk, bins, fold,
 ):
     """One grid step: negated ADC scores of a [Qp, TILE_N] code tile reduced
     to per-bin (max, argmax) pairs — the exact.py binned-pool estimator
@@ -280,6 +286,11 @@ def _adc_pool_kernel(
     codes_ref: u8[TILE_N, M]
     outs_ref:  f32[Qp, BINS_T] per-bin max negated-ADC score
     outi_ref:  i32[Qp, BINS_T] global row id of each bin max
+
+    ``fold`` merges FOLD consecutive tiles into one output block via output
+    revisiting (same mechanism and rationale as exact._pool_kernel: the
+    [Q, W] (score, id) pool written to HBM is the dominant non-matmul
+    traffic at large N, and stage 2 reads fold-x less).
 
     Precision matches the scores scan (_adc_kernel_scores): one bf16 matmul
     pass — the pool only ranks candidates for an exact downstream re-rank.
@@ -308,17 +319,35 @@ def _adc_pool_kernel(
             a_run = jnp.where(better, g, a_run)
             g += 1
     lane = jax.lax.broadcasted_iota(jnp.int32, m_run.shape, 1)
-    outs_ref[:] = m_run
-    outi_ref[:] = nt * tile_n + a_run * bins + lane
+    ids = nt * tile_n + a_run * bins + lane
+    if fold == 1:
+        outs_ref[:] = m_run
+        outi_ref[:] = ids
+    else:
+        @pl.when(nt % fold == 0)
+        def _():
+            outs_ref[:] = m_run
+            outi_ref[:] = ids
+
+        @pl.when(nt % fold != 0)
+        def _():
+            prev = outs_ref[:]
+            better = m_run > prev
+            outs_ref[:] = jnp.where(better, m_run, prev)
+            outi_ref[:] = jnp.where(better, ids, outi_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret", "fold", "min_w")
+)
 def adc_bin_pool(
     lut: jax.Array,  # f32[Q, M, K]
     codes: jax.Array,  # u8[N, M]
     valid: jax.Array,  # bool[N]
     tile_n: int | None = None,
     interpret: bool = False,
+    fold: int | None = None,
+    min_w: int = 16384,
 ):
     """Stage 1: fused ADC scan + binned reduction -> (neg scores f32[Q, W],
     row ids i32[Q, W]) with W = ceil(N/tile) * bins. Same estimator as
@@ -337,13 +366,19 @@ def adc_bin_pool(
     if qp != qn:
         lut_flat = jnp.pad(lut_flat, ((0, qp - qn), (0, 0)))
     nn = -(-n // tile)
-    w = nn * bins
+    # same auto-fold policy as the exact kernel (W ~16k): the pool write is
+    # the dominant non-matmul HBM traffic at large N and stage 2 shrinks
+    from vectorsearch_tpu.ops.pallas.exact import _auto_fold
+
+    f = _auto_fold(nn * bins, fold, min_w)
+    ng = -(-nn // f)
+    w = ng * bins
     codes = jnp.pad(codes, ((0, nn * tile - n), (0, 0)))
     valid_i = jnp.pad(valid.astype(jnp.int32), (0, nn * tile - n))[None, :]
     kidx = (jnp.arange(m * k, dtype=jnp.int32) // m)[None, :]
     outs, outi = pl.pallas_call(
         functools.partial(
-            _adc_pool_kernel, tile_n=tile, chunk=chunk, bins=bins
+            _adc_pool_kernel, tile_n=tile, chunk=chunk, bins=bins, fold=f
         ),
         grid=(nn,),
         in_specs=[
@@ -353,8 +388,12 @@ def adc_bin_pool(
             pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp, bins), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qp, bins), lambda i: (0, i // f), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (qp, bins), lambda i: (0, i // f), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((qp, w), jnp.float32),
@@ -371,7 +410,8 @@ def adc_bin_pool(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef_buf", "tile_n", "interpret", "stage2_rt")
+    jax.jit,
+    static_argnames=("ef_buf", "tile_n", "interpret", "stage2_rt", "fold"),
 )
 def adc_pool_pallas(
     lut: jax.Array,  # f32[Q, M, K]
@@ -382,13 +422,15 @@ def adc_pool_pallas(
     tile_n: int | None = None,
     interpret: bool = False,
     stage2_rt: float = 0.95,
+    fold: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat-path candidate pool: (neg scores f32[Q, ef_buf],
     row ids i32[Q, ef_buf]) — -inf/-1 = empty slot. Replaces the scores
     scan + [Q, N] approx_max_k: stage 2 runs over the ~8x smaller bin pool.
     stage2_rt mirrors the scan path's approx_max_k recall_target (0.95)."""
     outs, outi = adc_bin_pool(
-        lut, codes, valid, tile_n=tile_n, interpret=interpret
+        lut, codes, valid, tile_n=tile_n, interpret=interpret, fold=fold,
+        min_w=max(16384, 4 * ef_buf),
     )
     w = outs.shape[1]
     if w <= 2 * ef_buf:

@@ -67,16 +67,19 @@ def _auto_tile(qp: int, d: int, requested: int | None) -> tuple[int, int]:
     # sift1m sealed program, then hit the 16 MB scoped limit at d=96/N=1M
     # (25.7 MB claimed) and again composed under _stacked_brute_query at
     # Q=256/d=128 (16.77 MB), each failing the whole program's compile.
-    # t<=2048 has compiled in every composition probed, and the pool width
-    # (bins scale with tile) is unchanged — the cost is only ~2x grid steps
-    # in stage 1 (~+1.2 ms at N=1M). Explicit tile_n still probes past for
-    # sweeps, where a compile failure is visible and recoverable.
+    # t<=2048 has compiled in every composition probed. Chunk == bins (one
+    # lane-slice per chunk): the r4 chunk sweep measured chunk=256 at
+    # 1.64 ms vs chunk=1024 at 2.61 at the sift1m shape (fold 8) — the
+    # single-slice reduce and the smaller [Qp, chunk] score block pipeline
+    # better than fewer, wider matmul+reduce rounds
+    # (benchmarks/probe_exact_chunk.py). Explicit tile_n still probes other
+    # shapes for sweeps, where a compile failure is visible and recoverable.
     for t in (2048, 1024, 512):
-        c = min(t, 1024)
+        c = _BINS * max(1, t // 1024)
         need = 2 * (qp * c * 4) + 2 * t * d * 4 + c * d * 4 + qp * d * 8
         if need <= budget:
             return t, c
-    return 512, 512
+    return 512, 128
 
 
 def _pool_kernel(
@@ -175,7 +178,8 @@ def _pool_kernel(
             outi_ref[:] = jnp.where(better, ids, outi_ref[:])
 
 
-def _auto_fold(w_raw: int, requested: int | None) -> int:
+def _auto_fold(w_raw: int, requested: int | None,
+               min_w: int = 16384) -> int:
     """Fold factor for output revisiting: merge tiles until the pool is
     ~16k bins wide. Measured on chip (benchmarks/probe_exact_v3.py, r4):
     the (score, id) pool write was ~1.2 ms of the 2.76 ms stage-1 time at
@@ -187,13 +191,14 @@ def _auto_fold(w_raw: int, requested: int | None) -> int:
     if requested is not None:
         return requested
     f = 1
-    while f < 8 and w_raw // f > 16384:
+    while f < 8 and w_raw // f > min_w:
         f *= 2
     return f
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "tile_n", "interpret", "fold")
+    jax.jit,
+    static_argnames=("metric", "tile_n", "interpret", "fold", "min_w"),
 )
 def exact_bin_pool(
     q: jax.Array,  # f32[Q, D]
@@ -204,6 +209,7 @@ def exact_bin_pool(
     interpret: bool = False,
     xn2: jax.Array | None = None,  # f32[N] precomputed squared norms
     fold: int | None = None,
+    min_w: int = 16384,
 ):
     """Stage 1: fused scan + binned reduction -> (scores f32[Q, W],
     row ids i32[Q, W]) with W = ceil(ceil(N/tile)/fold) * bins. Invalid rows
@@ -226,7 +232,7 @@ def exact_bin_pool(
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
     nn = -(-n // tile)
-    f = _auto_fold(nn * bins, fold)
+    f = _auto_fold(nn * bins, fold, min_w)
     ng = -(-nn // f)
     w = ng * bins
     # column terms precomputed OUTSIDE the kernel (one [N]-sized pass) with
@@ -331,7 +337,7 @@ def exact_pool_scored_pallas(
     with no candidate-row gather."""
     outs, outi = exact_bin_pool(
         q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret,
-        xn2=xn2, fold=fold,
+        xn2=xn2, fold=fold, min_w=max(16384, 4 * ef_buf),
     )
     if stage2_halve:
         outs, outi = _halve_pool(outs, outi, stage2_halve)
