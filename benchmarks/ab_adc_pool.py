@@ -5,6 +5,13 @@ intermediate eliminated). Chained in-jit timings per CLAUDE.md; recall of
 each pool is scored against the exact ADC ranking (the pool's only job).
 
 Run: python -u benchmarks/ab_adc_pool.py  [VSTPU_AB_N rows]
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

@@ -11,6 +11,13 @@ on this 1-core host with an ~25 ms-RTT tunnel, serving QPS is host-bound
 near ~40k regardless of corpus size; batch latency shows the chip truth.
 
 Run: python benchmarks/ab_sift1m.py  (quiet machine: nothing else running)
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

@@ -5,6 +5,13 @@ with iteration i+1's input perturbed by iteration i's output, so the device
 cannot overlap or elide work; reported = (chained - baseline) / REPS.
 
 Run: python benchmarks/chain_exact.py [VSTPU_CE_N rows]
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

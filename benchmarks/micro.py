@@ -3,6 +3,13 @@
 dim 128/768, PQ encode (M=16, K=256, d=128), and ADC LUT distance.
 
 Run: python benchmarks/micro.py  (prints one JSON line per benchmark)
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

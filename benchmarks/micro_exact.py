@@ -6,6 +6,13 @@ device-side vs a ~1.3 ms scan roofline — find the gap).
 Run on the chip: python benchmarks/micro_exact.py  [VSTPU_ME_N rows]
 Measurement discipline per CLAUDE.md: per-program warmup + median over
 reps, interleaved variants.
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

@@ -7,6 +7,13 @@ One subprocess per config with a hard timeout; ground truth cached to npz
 (same protocol as sweep_exact_stage2.py).
 
 Run: python benchmarks/sweep_exact_halve.py
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json

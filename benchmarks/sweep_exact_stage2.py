@@ -4,6 +4,13 @@ SUBPROCESS per config with a hard timeout — a pathological Mosaic compile
 not the whole session. Ground truth is computed once and cached to npz.
 
 Run: python benchmarks/sweep_exact_stage2.py
+
+r4 PROTOCOL CAVEAT: timings below rely on block_until_ready and/or
+repeated identical-args calls, both shown unreliable through the axon
+runtime in r4 (CLAUDE.md measurement trap; some programs return without
+executing). Numbers from this harness were historically consistent for
+FULL composed paths, but cross-check anything load-bearing with the
+fetch-forced dependency-chain protocol (benchmarks/probe_exact_v3.py).
 """
 
 import json
