@@ -63,3 +63,39 @@ def test_items_arrays_roundtrip(gidmap):
     k2, v2 = m.items_arrays()
     got = dict(zip(k2.tolist(), v2.tolist()))
     assert got == {5: 50, 9: 90, 1 << 40: 1}
+
+
+def test_pygidmap_fallback_parity(rng):
+    """PyGidMap (the no-compiler fallback) must match GidMap semantics —
+    the fallback branch never runs when the C library builds (coverage r4)."""
+    from vectorsearch_tpu.native import GidMap, PyGidMap
+
+    for M in (GidMap, PyGidMap):
+        m = M(4)
+        keys = rng.integers(0, 1 << 40, 500).astype(np.int64)
+        keys = np.unique(keys)
+        vals = rng.integers(0, 1 << 40, len(keys)).astype(np.int64)
+        m.put_batch(keys, vals)
+        assert len(m) == len(keys)
+        got = m.get_batch(keys)
+        np.testing.assert_array_equal(got, vals)
+        assert m.get(int(keys[0])) == int(vals[0])
+        assert int(keys[1]) in m
+        assert m.get(-12345, default=-7) == -7
+        assert m.remove(int(keys[2]))
+        assert not m.remove(int(keys[2]))  # double-remove branch
+        assert m.get(int(keys[2])) == -1
+        m.remove_batch(keys[3:5])
+        assert len(m) == len(keys) - 3
+        ik, iv = m.items_arrays()
+        assert len(ik) == len(m)
+        # single put after batch ops + growth from tiny capacity exercised
+        m.put(999_999_999_999, 42)
+        assert m.get(999_999_999_999) == 42
+
+
+def test_pack_unpack_loc_roundtrip():
+    from vectorsearch_tpu.native import pack_loc, unpack_loc
+
+    for seg, vid in ((0, 0), (3, 17), (2**30, 2**31 - 1)):
+        assert unpack_loc(pack_loc(seg, vid)) == (seg, vid)

@@ -348,3 +348,47 @@ def test_prefetch_codebooks_sync_vs_async(storage, rng):
             else:
                 raise AssertionError("async prefetch never warmed codebooks")
         idx.close()
+
+
+def test_scoped_registry_passthrough_and_span_error():
+    """ScopedRegistry read-side delegation + the span exception branch
+    (coverage r4)."""
+    from vectorsearch_tpu.utils.metrics import get_registry, span
+
+    reset_for_test()
+    m = get_registry({"a": "1"})
+    m.inc("x.count", 2.0)
+    m.record("x.ms", 5.0, attrs={"extra": "y"})
+    assert m.counter_value("x.count") == 2.0
+    assert m.counter_value("x.count", {"a": "1"}) == 2.0
+    assert m.histogram_values("x.ms", {"a": "1", "extra": "y"}) == [5.0]
+    snap = m.snapshot()
+    assert any("x.count" in k for k in snap["counters"])
+    with pytest.raises(ValueError):
+        with span("probe.span", {"k": "v"}):
+            raise ValueError("boom")
+    m.reset()
+    assert m.counter_value("x.count") == 0.0
+
+
+def test_batcher_error_propagation_and_key_split(storage, rng):
+    """Queries with different (k, params) batch separately; an index error
+    reaches every waiting Future (coverage r4: batcher error branch)."""
+    from vectorsearch_tpu.params import SearchParams
+
+    idx = make_index(storage, max_segment_size=200)
+    x = gaussian(rng, 50)
+    idx.add_all(x)
+    b = QueryBatcher(idx, max_batch=8, max_wait_ms=20.0)
+    f1 = b.submit(x[0], 3)
+    f2 = b.submit(x[1], 5)  # different k -> separate batch key
+    assert f1.result(timeout=30)[0].gid is not None
+    assert len(f2.result(timeout=30)) == 5
+    # error propagation: wrong dimension raises inside the batch loop
+    bad = b.submit(np.zeros(3, np.float32), 3)
+    with pytest.raises(ValueError):
+        bad.result(timeout=30)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(x[0], 3)  # closed-batcher branch
+    idx.close()
