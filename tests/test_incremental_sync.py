@@ -108,3 +108,38 @@ def test_background_flag_sync_off_query_path(storage, rng):
         alive = np.asarray(seg._alive_dev)
     assert not alive[7] and alive[6]
     idx.close()
+
+
+def test_rotation_schedules_shape_warm(storage, rng):
+    """A rotation pre-warms the new segment-set's query programs off the
+    caller's thread: the next real query must not be the first to compile
+    the changed shapes (r4 probe_cluster_churn: post-change compiles
+    produced sub-1k-QPS serving windows)."""
+    import time as _t
+
+    from vectorsearch_tpu.utils.metrics import get_registry, reset_for_test
+
+    reset_for_test()
+    idx = make_index(storage, max_segment_size=50)
+    x = gaussian(rng, 120)
+    idx.add_all(x[:30])
+    idx.query_batch(x[:4], 5)  # records the warm signature (Q=8 padded)
+    before = get_registry().counter_value("vectorsearch.query.count")
+    idx.add_all(x[30:])  # crosses the cap twice -> rotations -> warm
+    deadline = _t.monotonic() + 10.0
+    while _t.monotonic() < deadline:
+        if get_registry().counter_value("vectorsearch.query.count") > before:
+            break
+        _t.sleep(0.02)
+    else:
+        raise AssertionError("no background shape-warm query ran")
+    # warm queries ran the recorded signature, not a caller query
+    assert idx._last_query_sig[1] == 5
+    idx.close()
+
+
+def test_no_warm_before_first_query(storage, rng):
+    idx = make_index(storage, max_segment_size=40)
+    idx.add_all(gaussian(rng, 90))  # rotations but no query yet
+    assert idx._last_query_sig is None  # nothing scheduled, no crash
+    idx.close()

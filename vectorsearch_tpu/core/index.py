@@ -656,6 +656,15 @@ class VectorIndex:
             self._owns_queues = True
 
         self.store = VectorStore(config, self.build_queue)
+        # pre-warm query-program shapes when the searchable segment set
+        # changes (store calls this on rotation / foreign refresh changes):
+        # re-dispatch the LAST seen query signature with dummy rows on the
+        # executor, so the fresh XLA compile starts immediately instead of
+        # on the next real query's latency path (cluster readers saw 0.8k-QPS
+        # windows from post-refresh compiles, benchmarks/probe_cluster_churn)
+        self._last_query_sig = None  # (nq_dev, k, params)
+        self._warm_pending = False
+        self.store.on_shapes_changed = self._schedule_shape_warm
         self.store.create_or_open()
         self._stacks = StackCache()
         eff_w = config.effective
@@ -989,6 +998,7 @@ class VectorIndex:
             qs = np.concatenate(
                 [qs, np.zeros((nq_dev - nq, qs.shape[1]), np.float32)]
             )
+        self._last_query_sig = (nq_dev, k, params)  # shape-warm target
 
         brute_segs: list[Segment] = []
         sealed_segs: list[Segment] = []
@@ -1435,6 +1445,30 @@ class VectorIndex:
                 np.full((nq, k), np.inf, np.float32),
             )
         return results
+
+    def _schedule_shape_warm(self) -> None:
+        """Schedules one background dummy query at the last-seen query
+        signature. No-op before the first real query (nothing to warm
+        toward), while one is already pending, or after close."""
+        sig = self._last_query_sig
+        if sig is None or self._closed or self._warm_pending:
+            return
+        self._warm_pending = True
+
+        def run():
+            try:
+                nq_dev, k, params = sig
+                q = np.zeros((nq_dev, self.config.dimension), np.float32)
+                self._query_batch(q, k, params, as_arrays=True)
+            except Exception:
+                LOG.debug("shape warm failed", exc_info=True)
+            finally:
+                self._warm_pending = False
+
+        try:
+            self._executor().submit(run)
+        except Exception:
+            self._warm_pending = False
 
     def _query_pad_bucket(self, nq: int) -> int:
         """Bucketed device-batch row count: config.query_batch_pad doubled

@@ -88,6 +88,13 @@ class VectorStore:
         self._flag_dirty: set[int] = set()
         self._flag_cv = threading.Condition()
         self._flag_thread: Optional[threading.Thread] = None
+        # Hook the index installs to pre-warm query-program shapes when the
+        # searchable segment SET changes (rotation here, foreign changes via
+        # refresh): every distinct set shape is a fresh XLA program
+        # (~20-40 s through the axon tunnel), and without warming the first
+        # query after a change eats the compile on its latency path (r4
+        # probe_cluster_churn saw 0.8k-QPS windows from exactly this).
+        self.on_shapes_changed = None
 
     def notify_flag_sync(self, seg_ids) -> None:
         """Queues background device-flag syncs for mutated segments."""
@@ -694,6 +701,8 @@ class VectorStore:
                 self._wal_last_txid[sid] = (
                     recs[-1].get("txid") if recs else None
                 )
+        if changed and self.on_shapes_changed is not None:
+            self.on_shapes_changed()
         return sorted(changed)
 
     # ---------------------------------------------------------------- ingest
@@ -775,6 +784,8 @@ class VectorStore:
         self.segments[new_id] = seg
         self.registry.append(new_id)
         self.enqueue_build_task(old.seg_id)
+        if self.on_shapes_changed is not None:
+            self.on_shapes_changed()  # only schedules; safe under the lock
         LOG.debug("rotated segment %d -> PENDING; new ACTIVE %d", old.seg_id, new_id)
         # No full-segment checkpoint here: the rotated segment's rows are
         # already durable in its WAL, and the build worker checkpoints at seal
