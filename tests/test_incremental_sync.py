@@ -143,3 +143,29 @@ def test_no_warm_before_first_query(storage, rng):
     idx.add_all(gaussian(rng, 90))  # rotations but no query yet
     assert idx._last_query_sig is None  # nothing scheduled, no crash
     idx.close()
+
+
+def test_appends_sync_to_device_in_background(storage, rng):
+    """add_all must queue the appended-rows device upload on the background
+    syncer — the transfer otherwise lands on the NEXT query batch's
+    latency path (r4 deep10m churn lever)."""
+    import time as _t
+
+    idx = make_index(storage, max_segment_size=500)
+    x = gaussian(rng, 80)
+    idx.add_all(x[:40])
+    idx.query(x[0], 1)  # materialize mirrors
+    idx.add_all(x[40:])  # appended AFTER the mirror exists
+    seg = idx.store.segments[0]
+    deadline = _t.monotonic() + 5.0
+    while _t.monotonic() < deadline:
+        with seg._dev_lock:
+            if seg._dev_rows >= 80:
+                break
+        _t.sleep(0.01)
+    else:
+        raise AssertionError("background append sync never ran")
+    with seg._dev_lock:
+        vec = np.asarray(seg._vectors_dev)[:80]
+    np.testing.assert_allclose(vec, x, rtol=1e-6)
+    idx.close()

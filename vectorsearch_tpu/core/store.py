@@ -97,7 +97,10 @@ class VectorStore:
         self.on_shapes_changed = None
 
     def notify_flag_sync(self, seg_ids) -> None:
-        """Queues background device-flag syncs for mutated segments."""
+        """Queues background device syncs (appended row ranges AND flag
+        flips — seg.sync_device covers both) for mutated segments, so the
+        ~25 ms host->device put happens off the next query's critical
+        path."""
         if not seg_ids:
             return
         with self._flag_cv:
@@ -727,6 +730,7 @@ class VectorStore:
         gids: list[int] = []
         offset = 0
         self.heartbeat_writer_lease()
+        touched: set = set()
         with self.lock:
             while offset < n:
                 seg = self.segments[self.current_segment]
@@ -766,10 +770,12 @@ class VectorStore:
                     },
                 )
                 gids.extend(int(g) for g in new_gids)
+                touched.add(seg.seg_id)
                 offset += take
                 # strict cap: rotate immediately when full (reference :494-510)
                 if seg.remaining_capacity() == 0:
                     self._rotate_locked()
+        self.notify_flag_sync(touched)  # appends upload off the query path
         return gids
 
     def _rotate_locked(self) -> None:
