@@ -201,6 +201,26 @@ class Segment:
             )
         return True
 
+    def tombstone_batch(self, vec_ids: np.ndarray) -> np.ndarray:
+        """Vectorized tombstone: flips every alive, in-range row in one
+        numpy pass (the per-row tombstone() loop was measurable writer GIL
+        time under deep10m churn). Returns the vids actually flipped."""
+        v = np.unique(np.asarray(vec_ids, np.int64))
+        v = v[(v >= 0) & (v < self.next_row)]
+        flipped = v[self.alive_np[v]]
+        if len(flipped) == 0:
+            return flipped
+        self.alive_np[flipped] = False
+        self.gids_np[flipped] = -1
+        self.meta.count -= len(flipped)
+        self.meta.deleted_count += len(flipped)
+        self.flags_version += 1
+        with self._dev_lock:
+            self._pending_flag_updates.append(
+                (flipped.astype(np.int32), False, True)
+            )
+        return flipped
+
     def remove_row(self, vec_id: int) -> None:
         """Physically clears a row (vacuum): drops data + tombstone."""
         self.remove_rows(np.array([vec_id]))

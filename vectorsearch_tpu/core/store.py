@@ -551,12 +551,16 @@ class VectorStore:
                     self.next_gid = max(self.next_gid, int(gids.max()) + 1)
                 added = True
             elif rec["op"] == "del":
-                for vid in np.asarray(rec["vids"], np.int64).tolist():
-                    gid = int(seg.gids_np[vid])
-                    if seg.tombstone(int(vid)) and gid >= 0:
-                        self.gid_map.remove(gid)
+                vids = np.asarray(rec["vids"], np.int64)
+                gid_before = seg.gids_np[
+                    np.clip(vids, 0, seg.cap_pad - 1)
+                ].copy()  # captured BEFORE the flip zeroes gids_np
+                flipped = seg.tombstone_batch(vids)
+                if len(flipped):
+                    sel = gid_before[np.isin(vids, flipped)]
+                    self.gid_map.remove_batch(sel[sel >= 0])
         if added:
-            seg.version += 1  # tombstone() bumps per flip; adds bump here
+            seg.version += 1  # tombstone_batch bumps per batch; adds here
         seg.reconcile_counts()
 
     def refresh(self) -> list[int]:
@@ -814,31 +818,35 @@ class VectorStore:
         (reference: deleteBatch :276-423). Unknown gids are ignored."""
         affected: list[int] = []
         self.heartbeat_writer_lease()
+        gids_arr = np.asarray(
+            gids if isinstance(gids, np.ndarray) else list(gids), np.int64
+        )
+        if gids_arr.size == 0:
+            return affected
         with self.lock:
-            by_seg: Dict[int, list[tuple[int, int]]] = {}
-            for gid in gids:
-                packed = self.gid_map.get(int(gid))
-                if packed < 0:
-                    continue
-                seg_id, vid = unpack_loc(packed)
-                by_seg.setdefault(seg_id, []).append((int(gid), vid))
-            for seg_id, pairs in by_seg.items():
-                seg = self.segments.get(seg_id)
+            # vectorized resolve + tombstone: the per-gid Python loop was
+            # measurable writer GIL time under deep10m churn (r4)
+            packed = self.gid_map.get_batch(gids_arr)
+            ok = packed >= 0
+            segs = (packed[ok] >> 32).astype(np.int64)
+            vids = (packed[ok] & 0xFFFFFFFF).astype(np.int64)
+            g_ok = gids_arr[ok]
+            for sid in np.unique(segs):
+                seg = self.segments.get(int(sid))
                 if seg is None:
                     continue
-                flipped: list[int] = []
-                for gid, vid in pairs:
-                    if seg.tombstone(vid):
-                        self.gid_map.remove(gid)
-                        flipped.append(vid)
-                if flipped:
+                m = segs == sid
+                flipped = seg.tombstone_batch(vids[m])
+                if len(flipped):
+                    self.gid_map.remove_batch(
+                        g_ok[m][np.isin(vids[m], flipped)]
+                    )
                     # per-mutation durability (reference: deleteBatch is an
                     # FDB txn, fdb/FdbVectorStore.java:276-423)
                     self._wal_append_locked(
-                        seg_id,
-                        {"op": "del", "vids": np.asarray(flipped, np.int64)},
+                        int(sid), {"op": "del", "vids": flipped}
                     )
-                affected.append(seg_id)
+                affected.append(int(sid))
         self.notify_flag_sync(affected)
         return affected
 
