@@ -280,15 +280,26 @@ class MemoryStorage(IndexStorage):
             self._wals.pop(name, None)
 
     def wal_append(self, name, seg_id, record):
+        # Snapshot isolation without pickle: the caller's arrays mutate
+        # after append, so values must be copied — but pickling a 2000-row
+        # add record (~768 KB) was measurable writer GIL time under churn
+        # (r4). ndarray.copy()/list() give the same isolation at memcpy
+        # speed; payload bytes are immutable. DiskStorage remains the
+        # serialization-validating durable backend.
+        snap = {
+            k: (v.copy() if isinstance(v, np.ndarray)
+                else list(v) if isinstance(v, list) else v)
+            for k, v in record.items()
+        }
         with self._lock:
-            self._wals.setdefault(name, {}).setdefault(seg_id, []).append(
-                pickle.dumps(record)
-            )
+            self._wals.setdefault(name, {}).setdefault(seg_id, []).append(snap)
 
     def wal_read(self, name, seg_id):
         with self._lock:
             recs = self._wals.get(name, {}).get(seg_id, [])
-            return [pickle.loads(b) for b in recs]
+            # consumers treat records as read-only; return shallow copies of
+            # the dicts so accidental key mutation can't corrupt the log
+            return [dict(r) for r in recs]
 
     def wal_reset(self, name, seg_id):
         with self._lock:

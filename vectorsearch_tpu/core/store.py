@@ -773,7 +773,7 @@ class VectorStore:
                         ),
                     },
                 )
-                gids.extend(int(g) for g in new_gids)
+                gids.extend(new_gids.tolist())  # C-speed int conversion
                 touched.add(seg.seg_id)
                 offset += take
                 # strict cap: rotate immediately when full (reference :494-510)
