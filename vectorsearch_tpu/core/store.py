@@ -21,6 +21,7 @@ clear both gid mappings (reference :276-423).
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from typing import Dict, Optional
@@ -100,8 +101,10 @@ class VectorStore:
         """Queues background device syncs (appended row ranges AND flag
         flips — seg.sync_device covers both) for mutated segments, so the
         ~25 ms host->device put happens off the next query's critical
-        path."""
-        if not seg_ids:
+        path. Purely a prefetch: the query path still syncs on demand, so
+        disabling this (VSTPU_NO_BG_SYNC=1) only moves the cost back onto
+        query latency."""
+        if not seg_ids or os.environ.get("VSTPU_NO_BG_SYNC"):
             return
         with self._flag_cv:
             if self._flag_thread is None:
@@ -114,11 +117,19 @@ class VectorStore:
             self._flag_cv.notify()
 
     def _flag_sync_loop(self) -> None:
+        # Throttle: each device put is a ~25 ms tunnel round-trip, and an
+        # unthrottled syncer matching a fast writer's batch rate STARVES
+        # serving when the tunnel is saturated (glove live-insert measured
+        # 18.5k -> 10.7k QPS from exactly this; deep10m, with tunnel
+        # headroom, gained +35%). Sleeping 3x the last drain's duration
+        # caps the syncer's tunnel share at ~25%; mutations missed between
+        # drains are synced inline by the query path as before.
         while not self._lease_stop.is_set():
             with self._flag_cv:
                 while not self._flag_dirty and not self._lease_stop.is_set():
                     self._flag_cv.wait(timeout=0.5)
                 dirty, self._flag_dirty = self._flag_dirty, set()
+            t0 = time.monotonic()
             for sid in dirty:
                 seg = self.segments.get(sid)
                 if seg is None or seg.is_stub:
@@ -128,6 +139,9 @@ class VectorStore:
                 except Exception:  # device hiccup: the query path will retry
                     LOG.debug("background flag sync failed for %d", sid,
                               exc_info=True)
+            took = time.monotonic() - t0
+            if took > 0 and not self._lease_stop.is_set():
+                self._lease_stop.wait(min(3.0 * took, 1.0))
 
     # ---------------------------------------------------------- writer lease
 
