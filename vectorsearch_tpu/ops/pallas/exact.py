@@ -37,6 +37,9 @@ _BINS = 128  # one lane row of bins per tile
 # Below this row count the XLA pool's intermediate is small enough that the
 # kernel's fixed costs (grid setup, second top-k stage) don't pay for
 # themselves — and tiny segments divide into too few bins for a useful pool.
+# Recall is path-equivalent at this boundary: a 60k cosine corpus measured
+# 0.9984 recall@10 through BOTH the fused kernel and the XLA pool (the one
+# lost hit is an approx-stage/near-tie effect, not bin collisions; r4).
 MIN_ROWS = 16_384
 
 
