@@ -479,10 +479,15 @@ def bench_churn():
     cap = idx.store.segments[0].cap_pad
     per_seg_limit = max(k, k * idx.config.oversample)
     for nb in (1, 2, 4):
+        # xn2 must be a real array: production passes stack.xn2, and a
+        # None-signature warm compiles a DIFFERENT program (r4 regression:
+        # stale warms let mid-window rotations compile on the serving path
+        # and collapsed this bench to 44 QPS)
         _stacked_brute_query(
             jnp.asarray(q), jnp.zeros((nb * cap, d), jnp.float32),
             jnp.zeros(nb * cap, bool), 0,
             k=min(per_seg_limit, cap * nb), metric="L2", n_per_seg=cap,
+            xn2=jnp.zeros(nb * cap, jnp.float32),
         )
 
     stop = [False]
