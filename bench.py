@@ -27,19 +27,24 @@ no recorded prior.
 
 import json
 import os
+import statistics
 import time
 
 import numpy as np
 
-# Prior-round recorded QPS per workload (BENCH_r03.json / ROADMAP.md r3
+# Prior-round recorded QPS per workload (BENCH_r04.json / ROADMAP.md r4
 # table). The denominator for vs_baseline: measured on this hardware by the
-# round-3 driver run — NOT an estimate of the never-run Java reference.
+# round-4 driver/session runs — NOT an estimate of the never-run Java
+# reference. r4's single-window artifacts ride the pinned 25.7-41.5k
+# tunnel/session band (benchmarks/probe_serving_host.py); from r5 on the
+# bench itself reports a median of >=5 consecutive windows so the recorded
+# numbers stop being single samples of that band.
 PRIOR_RECORDED = {
-    "sift1m": 39195.8,   # BENCH_r03.json
-    "sift100k": 41300.0,  # ROADMAP r3 table
-    "ref": 2000.0,        # ROADMAP r3 (reference JMH shape, this chip)
-    "glove": 16757.0,     # ROADMAP r3 table
-    "deep10m": 976.0,     # ROADMAP r3 table (exact-mode churn)
+    "sift1m": 32530.6,   # BENCH_r04.json (single window; band 26-43k)
+    "sift100k": 41468.0,  # ROADMAP r4 table (single window)
+    "ref": 66735.0,       # ROADMAP r4 (reference JMH shape, this chip)
+    "glove": 24006.0,     # ROADMAP r4 table
+    "deep10m": 6081.0,    # ROADMAP r4 (exact-mode churn, 1.16M mutations)
 }
 
 
@@ -94,16 +99,28 @@ def build_index(x, d, seg_size, pq_m, pq_k, degree, breadth):
     return idx, gids
 
 
-def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8,
-                arrays=True):
-    """Serving throughput: `in_flight` concurrent clients keep the chip busy
-    (device compute serializes; host merge and device->host fetch round-trips
-    overlap — a single synchronous client measures tunnel latency, not chip
-    throughput). Measured through query_batch_arrays (gids/scores/distances
-    as numpy arrays — the TPU-native serving API): the SearchResult object
-    path costs ~8 ms of GIL-serialized Python per 512-query batch, which caps
-    ANY number of clients at ~64k QPS regardless of the chip. Pass
-    arrays=False to measure the object API instead."""
+def measure_qps(idx, queries, k, batch, seconds=4.0, params=None, in_flight=8,
+                arrays=True, windows=6):
+    """Serving throughput as a MEDIAN of consecutive measurement windows.
+
+    `in_flight` concurrent clients keep the chip busy (device compute
+    serializes; host merge and device->host fetch round-trips overlap — a
+    single synchronous client measures tunnel latency, not chip throughput).
+    Measured through query_batch_arrays (gids/scores/distances as numpy
+    arrays — the TPU-native serving API): the SearchResult object path costs
+    ~8 ms of GIL-serialized Python per 512-query batch, which caps ANY number
+    of clients at ~64k QPS regardless of the chip. Pass arrays=False to
+    measure the object API instead.
+
+    Windowing (r5, VERDICT r4 #1): identical back-to-back windows in one
+    quiet process span 25.7-41.5k QPS on this host — axon tunnel/session
+    variance (benchmarks/probe_serving_host.py). A single window is therefore
+    noise-dominated: a real 17% regression would be indistinguishable from
+    the band. The clients run continuously; counts are sampled at `windows`
+    consecutive window boundaries of `seconds` each, the FIRST window is
+    discarded (first timed loop of a fresh program reads 3-10x slow even
+    after warmup, CLAUDE.md), and the result is (median, lo, hi) over the
+    remaining windows."""
     import threading
 
     call = idx.query_batch_arrays if arrays else idx.query_batch
@@ -120,14 +137,20 @@ def measure_qps(idx, queries, k, batch, seconds=5.0, params=None, in_flight=8,
             counts[i] += batch
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(in_flight)]
-    t0 = time.perf_counter()
     for t in threads:
         t.start()
-    time.sleep(seconds)
+    samples = []
+    last, t_last = 0, time.perf_counter()
+    for _ in range(max(2, windows)):
+        time.sleep(seconds)
+        now, t_now = sum(counts), time.perf_counter()
+        samples.append((now - last) / (t_now - t_last))
+        last, t_last = now, t_now
     stop[0] = True
     for t in threads:
         t.join()
-    return sum(counts) / (time.perf_counter() - t0)
+    meas = samples[1:]  # discard the first window (warm-in)
+    return statistics.median(meas), min(meas), max(meas)
 
 
 def bench_sift100k():
@@ -163,12 +186,13 @@ def bench_sift100k():
     recall = hits / (128 * k)
 
     queries = np.concatenate([q] * 16)
-    qps = measure_qps(idx, queries, k, batch=512, params=params)
+    qps, lo, hi = measure_qps(idx, queries, k, batch=512, params=params)
     idx.close()
     return {
         "metric": f"sift100k_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
+        "band": [round(lo, 1), round(hi, 1)],
         "vs_baseline": vs_prior("sift100k", qps),
     }
 
@@ -196,12 +220,14 @@ def bench_sift1m():
         truth = set(np.argsort(np.linalg.norm(x - q[i], axis=1))[:k].tolist())
         hits += len(truth & {s.gid for s in r})
     recall = hits / (128 * k)
-    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=512, params=params)
+    qps, lo, hi = measure_qps(idx, np.concatenate([q] * 8), k, batch=512,
+                              params=params)
     idx.close()
     return {
         "metric": f"sift1m_qps_per_chip_arrays_k10_recall{recall:.2f}_build{build_s:.0f}s",
         "value": round(qps, 1),
         "unit": "queries/s",
+        "band": [round(lo, 1), round(hi, 1)],
         "vs_baseline": vs_prior("sift1m", qps),
     }
 
@@ -218,12 +244,13 @@ def bench_ref():
     ) / 100
     assert recall >= 0.9, f"self-recall gate failed: {recall}"
     queries = rng.normal(size=(8192, d)).astype(np.float32)
-    qps = measure_qps(idx, queries, k, batch=512)
+    qps, lo, hi = measure_qps(idx, queries, k, batch=512)
     idx.close()
     return {
         "metric": "e2e_best_first_qps_1100x8_k10_arrays",
         "value": round(qps, 1),
         "unit": "queries/s",
+        "band": [round(lo, 1), round(hi, 1)],
         "vs_baseline": vs_prior("ref", qps),
     }
 
@@ -294,8 +321,8 @@ def bench_glove():
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
     time.sleep(1.0)  # let the ACTIVE segment fill so the mix is real
-    qps = measure_qps(idx, np.concatenate([q] * 8), k, batch=512,
-                      params=params, in_flight=8)
+    qps, lo, hi = measure_qps(idx, np.concatenate([q] * 8), k, batch=512,
+                              params=params, in_flight=8)
     stop[0] = True
     wt.join()
 
@@ -316,6 +343,7 @@ def bench_glove():
         ),
         "value": round(qps, 1),
         "unit": "queries/s",
+        "band": [round(lo, 1), round(hi, 1)],
         "vs_baseline": vs_prior("glove", qps),
     }
 
@@ -402,8 +430,9 @@ def bench_deep10m():
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
     time.sleep(1.0)
-    qps = measure_qps(idx, np.concatenate([q] * 4), k, batch=512, seconds=20.0,
-                      params=params, in_flight=8)
+    qps, lo, hi = measure_qps(idx, np.concatenate([q] * 4), k, batch=512,
+                              seconds=5.0, windows=6, params=params,
+                              in_flight=8)
     stop[0] = True
     wt.join()
 
@@ -426,126 +455,21 @@ def bench_deep10m():
         ),
         "value": round(qps, 1),
         "unit": "queries/s",
+        "band": [round(lo, 1), round(hi, 1)],
         "vs_baseline": vs_prior("deep10m", qps),
     }
 
 
 def bench_churn():
-    """Sustained serving under churn: queries run continuously while writers
-    add + delete vectors, rotations seal in background worker threads, and
-    vacuum fires on ratio (the aux scenario class in BASELINE.json). Reports
-    query QPS sustained during the churn window, with recall measured on the
-    stable prefix of the corpus AFTER the churn (correctness under mutation)."""
-    import threading
-
-    import vectorsearch_tpu as vs
-    from vectorsearch_tpu.core.index import VectorIndex
-    from vectorsearch_tpu.core.persist import MemoryStorage
-    from vectorsearch_tpu.params import Mode, SearchParams
-
-    rng = np.random.default_rng(42)
-    n0, d, k = 200_000, 128, 10
-    centers = rng.normal(size=(512, d)).astype(np.float32) * 4
-    x = centers[rng.integers(0, 512, n0)] + rng.normal(size=(n0, d)).astype(np.float32)
-
-    idx = VectorIndex.create_or_open(
-        vs.VectorIndexConfig(
-            storage=MemoryStorage(), name="churn", dimension=d, metric="L2",
-            max_segment_size=50_000, pq_m=16, pq_k=256, graph_degree=32,
-            graph_build_breadth=64, graph_alpha=1.2,
-            local_worker_threads=1, local_maintenance_worker_threads=1,
-            vacuum_min_deleted_ratio=0.1,
-            vacuum_cooldown_s=5.0,  # production tuning: don't re-vacuum a
-            #   segment more than every 5s under continuous deletes
-        )
-    )
-    gids = idx.add_all(x)
-    idx.await_indexing_complete(timeout=600)
-
-    params = SearchParams(ef_search=150, beam_width=128, max_iters=6,
-                          max_explore=150, mode=Mode.BEST_FIRST)
-    q = centers[rng.integers(0, 512, 512)] + rng.normal(size=(512, d)).astype(
-        np.float32
-    )
-    # Warm EVERY program shape the churn window will hit (first compiles are
-    # 20-40s each through the remote endpoint and would eat the measurement
-    # window): rotations put 1-4 brute-force segments in flight, and the
-    # brute stack pads the segment count to powers of two.
-    import jax.numpy as jnp
-
-    from vectorsearch_tpu.core.index import _stacked_brute_query
-
-    idx.query_batch(q, k, params)
-    cap = idx.store.segments[0].cap_pad
-    per_seg_limit = max(k, k * idx.config.oversample)
-    for nb in (1, 2, 4):
-        # xn2 must be a real array: production passes stack.xn2, and a
-        # None-signature warm compiles a DIFFERENT program (r4 regression:
-        # stale warms let mid-window rotations compile on the serving path
-        # and collapsed this bench to 44 QPS)
-        _stacked_brute_query(
-            jnp.asarray(q), jnp.zeros((nb * cap, d), jnp.float32),
-            jnp.zeros(nb * cap, bool), 0,
-            k=min(per_seg_limit, cap * nb), metric="L2", n_per_seg=cap,
-            xn2=jnp.zeros(nb * cap, jnp.float32),
-        )
-
-    stop = [False]
-    mutations = [0]
-
-    def writer():
-        wrng = np.random.default_rng(7)
-        next_del = n0 // 2
-        while not stop[0]:
-            fresh = centers[wrng.integers(0, 512, 1000)] + wrng.normal(
-                size=(1000, d)
-            ).astype(np.float32)
-            idx.add_all(fresh)
-            idx.delete_all(list(range(next_del, next_del + 1000)))
-            next_del += 1000
-            mutations[0] += 2000
-            time.sleep(0.01)
-
-    wt = threading.Thread(target=writer, daemon=True)
-    counts = [0] * 4
-
-    def client(i):
-        while not stop[0]:
-            idx.query_batch_arrays(q, k, params)
-            counts[i] += 512
-
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
-    t0 = time.perf_counter()
-    wt.start()
-    for t in threads:
-        t.start()
-    time.sleep(10.0)
-    stop[0] = True
-    for t in threads:
-        t.join()
-    wt.join()
-    qps = sum(counts) / (time.perf_counter() - t0)
-
-    # correctness after churn: stable prefix still searchable at recall
-    idx.await_indexing_complete(timeout=600)
-    res = idx.query_batch(x[:128], k, params)
-    hits = sum(1 for i, r in enumerate(res) if gids[i] in [s.gid for s in r])
-    recall = hits / 128
-    # deleted rows really gone
-    dead = idx.query_batch(x[n0 // 2 : n0 // 2 + 64], 20, params)
-    leaked = sum(
-        1 for i, r in enumerate(dead) if gids[n0 // 2 + i] in [s.gid for s in r]
-    )
-    idx.close()
-    return {
-        "metric": (
-            f"churn_qps_arrays_k10_selfrecall{recall:.2f}_leaked{leaked}"
-            f"_mutations{mutations[0]}"
-        ),
-        "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": vs_prior("churn", qps),
-    }
+    """r5: the small 200k/10s churn variant is DELETED (VERDICT r4 weak #8).
+    After the r4 warm fix it read 340-584 QPS across runs — writer-rate- and
+    session-dominated at that window size, i.e. acknowledged noise; a bench
+    mode whose output is noise invites misreading. The churn scenario class
+    (BASELINE.json workload #5) is measured by the deep10m bench, which runs
+    adds+deletes+vacuum live at 10M rows over 6x5s windows and reports a
+    median+band. VSTPU_BENCH=churn now runs that (VSTPU_DEEP_N still scales
+    it down for smoke runs)."""
+    return bench_deep10m()
 
 
 def main():

@@ -242,7 +242,7 @@ def _sealed_finalize_slots(q, pool_scores, pool_idx, slot_base, *, rr, metric):
 )
 def _sealed_query_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
-    ef_dyn, beam_dyn,
+    ef_dyn, beam_dyn, xn2=None,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
     flat=False, flat_strict=False, exact=False,
 ):
@@ -266,9 +266,12 @@ def _sealed_query_step(
     """
     if exact:
         # scored pool + algebraic finalize: no re-rank gather (the pool's
-        # near-f32 scores ARE the exact ranking; see exact_finalize)
+        # near-f32 scores ARE the exact ranking; see exact_finalize). xn2 is
+        # the segment-cached column-term plane (Segment.xn2_dev) — without it
+        # the kernel re-reads [N, D] for norms, a measured +4 ms/512-batch
+        # at 1M rows (ops/pallas/exact.py).
         ps, pi = _sealed_exact_pool_scored(
-            q, vectors, alive, ef_buf=ef_buf, metric=metric
+            q, vectors, alive, xn2, ef_buf=ef_buf, metric=metric
         )
         return traversal_ops.exact_finalize(q, ps, pi, rr, metric)
     if flat:
@@ -304,7 +307,7 @@ def _sealed_query_step(
 )
 def _sealed_query_slot_step(
     q, vectors, codebook, codes, adjacency, exists, alive,
-    ef_dyn, beam_dyn, slot_base,
+    ef_dyn, beam_dyn, slot_base, xn2=None,
     *, ef_buf, beam_buf, max_steps, min_steps, refine_frontier, rr, metric,
     flat=False, flat_strict=False, exact=False,
 ):
@@ -312,7 +315,7 @@ def _sealed_query_slot_step(
     per-segment dispatch is exactly one XLA call."""
     sc, di, iv = _sealed_query_step(
         q, vectors, codebook, codes, adjacency, exists, alive,
-        ef_dyn, beam_dyn,
+        ef_dyn, beam_dyn, xn2,
         ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
         min_steps=min_steps, refine_frontier=refine_frontier,
         rr=rr, metric=metric, flat=flat, flat_strict=flat_strict, exact=exact,
@@ -1163,6 +1166,7 @@ class VectorIndex:
                         fn(
                             qd, self.caches.get_codebook(seg), seg.codes_dev,
                             seg.exists_dev, seg.vectors_dev, seg.alive_dev,
+                            seg.xn2_dev,  # flat ignores it (DCEd)
                             jnp.int32(tuned_ef), jnp.int32(base),
                         )
                     )
@@ -1298,6 +1302,7 @@ class VectorIndex:
                     qd, seg.vectors_dev, cb, codes, adj,
                     seg.exists_dev, seg.alive_dev,
                     tuned_ef, tuned_beam, base,
+                    seg.xn2_dev if gexact else None,
                     ef_buf=ef_buf, beam_buf=beam_buf, max_steps=max_steps,
                     min_steps=min_steps, refine_frontier=refine,
                     rr=rr, metric=self.config.metric,
@@ -1528,7 +1533,7 @@ class VectorIndex:
             # exact mode's scan phase is the raw matmul; recorded under the
             # reference's pq_scan instrument (it IS the scan phase)
             ps, pi = _sealed_exact_pool_scored(
-                qd, seg.vectors_dev, seg.alive_dev,
+                qd, seg.vectors_dev, seg.alive_dev, seg.xn2_dev,
                 ef_buf=ef_buf, metric=self.config.metric,
             )
             jax.block_until_ready((ps, pi))
@@ -1669,7 +1674,7 @@ class VectorIndex:
             if self.config.sealed_search_mode == "exact" or _pqless(seg):
                 ef_buf = min(_bucket(max(4 * k, 32)), seg.cap_pad)
                 ps, pi = _sealed_exact_pool_scored(
-                    qd, seg.vectors_dev, seg.alive_dev,
+                    qd, seg.vectors_dev, seg.alive_dev, seg.xn2_dev,
                     ef_buf=ef_buf, metric=self.config.metric,
                 )
                 scores, dists, idx = traversal_ops.exact_finalize(

@@ -124,7 +124,7 @@ def sharded_flat_query(
     flat_strict: bool = False, exact: bool = False,
 ):
     """Returns a jitted SPMD sealed-segment flat query
-    (q, codebook, codes_sh, exists_sh, vectors_sh, alive_sh, ef_dyn,
+    (q, codebook, codes_sh, exists_sh, vectors_sh, alive_sh, xn2_sh, ef_dyn,
     slot_base) -> (scores f32[Q,rr], dists f32[Q,rr], vids i32[Q,rr],
     slots i32[Q,rr]) with GLOBAL row ids.
 
@@ -147,7 +147,8 @@ def sharded_flat_query(
     from vectorsearch_tpu.ops import pq as pq_ops
     from vectorsearch_tpu.ops import traversal as traversal_ops
 
-    def local_fn(q, codebook, codes, exists, vectors, alive, ef_dyn, slot_base):
+    def local_fn(q, codebook, codes, exists, vectors, alive, xn2, ef_dyn,
+                 slot_base):
         n_local = vectors.shape[0]
         shard = jax.lax.axis_index(DATA_AXIS)
         local_ef = min(ef_buf, n_local)
@@ -164,7 +165,7 @@ def sharded_flat_query(
             from vectorsearch_tpu.core.index import _sealed_exact_pool_scored
 
             ps, pi = _sealed_exact_pool_scored(
-                q, vectors, alive, ef_buf=local_ef, metric=metric
+                q, vectors, alive, xn2, ef_buf=local_ef, metric=metric
             )
             sc, di, iv = traversal_ops.exact_finalize(
                 q, ps, pi, local_rr, metric
@@ -200,7 +201,7 @@ def sharded_flat_query(
         mesh=mesh,
         in_specs=(
             P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-            P(), P(),
+            P(DATA_AXIS), P(), P(),
         ),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
