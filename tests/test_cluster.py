@@ -302,7 +302,7 @@ def test_shard_host_ram_is_sharded(tmp_path, rng):
         # foreign segments: stubs — no rows, no payloads, tiny arrays
         for s in foreign:
             assert s.is_stub and s.next_row == 0
-            assert s.vectors_np.nbytes <= 128 * x.shape[1] * 4
+            assert s.vectors_np.nbytes <= 128 * s.d_pad * 4  # one cap_pad row block
             assert s.meta.count > 0 or s.state.name == "ACTIVE"  # meta intact
         # owned segments hold their checkpointed rows
         rows = sum(s.next_row for s in owned)

@@ -166,6 +166,7 @@ def test_appends_sync_to_device_in_background(storage, rng):
     else:
         raise AssertionError("background append sync never ran")
     with seg._dev_lock:
-        vec = np.asarray(seg._vectors_dev)[:80]
+        # mirror is lane-padded (segment.pad_lane); logical columns only
+        vec = np.asarray(seg._vectors_dev)[:80, : x.shape[1]]
     np.testing.assert_allclose(vec, x, rtol=1e-6)
     idx.close()

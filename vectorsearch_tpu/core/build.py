@@ -113,7 +113,9 @@ class SegmentBuildService:
         # Snapshot row data (tombstones included — parity with reference which
         # builds artifacts for every stored VectorRecord).
         with self.store.lock:
-            vectors = np.array(seg.vectors_np)  # [cap_pad, D]
+            # logical dim: PQ subspace splits (m x sub = dim) must see the
+            # unpadded width; the graph build is distance-exact either way
+            vectors = np.array(seg.vectors_np[:, : seg.dim])  # [cap_pad, D]
             exists = np.array(seg.exists_np)
 
         key = jax.random.PRNGKey(cfg.pq_train_seed)

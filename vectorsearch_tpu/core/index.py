@@ -171,6 +171,10 @@ def _sealed_exact_pool_scored(q, vectors, valid, xn2=None, *, ef_buf, metric):
     the dominant exact-path cost) with per-query algebra — hence HIGHEST
     matmul precision here and the split-bf16 passes in the Pallas kernel:
     there is no downstream re-score to absorb rounding."""
+    if q.shape[1] < vectors.shape[1]:
+        # segments allocate lane-padded vector planes (segment.pad_lane);
+        # zero-pad q to match — exact for L2/cosine scores
+        q = jnp.pad(q, ((0, 0), (0, vectors.shape[1] - q.shape[1])))
     if pallas_exact.use_fused_exact_pool(
         vectors.shape[0], vectors.shape[1], ef_buf
     ):

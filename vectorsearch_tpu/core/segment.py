@@ -39,6 +39,18 @@ def pad_cap(n: int) -> int:
     return max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
 
 
+def pad_lane(d: int) -> int:
+    """Feature dim padded to the 128-lane multiple. Segments ALLOCATE their
+    vector planes at this width (r5, VERDICT r4 #6): zero pad columns change
+    neither dot products nor norms, the exact Pallas kernel runs its
+    full-tile configs instead of the ~10x-slower non-lane-multiple fallback
+    (d=96 also compile-OOMed composed at tile 4096), and the per-rebuild
+    stack _pad_dim copies at d=96/100 — one full [N, D] copy per writer
+    batch under churn — disappear. Checkpoints/WAL still store logical-dim
+    rows (save slices, load pads), so the storage format is unchanged."""
+    return max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
+
+
 # No donation here on purpose: updates produce NEW device arrays (copy-on-write
 # at HBM bandwidth) while in-flight queries keep reading the old snapshot —
 # the TPU answer to FDB's snapshot isolation (SURVEY.md §7 hard part #4).
@@ -114,7 +126,8 @@ class Segment:
         # default device — their incremental appends would thrash shards.
         self.mesh = mesh
 
-        self.vectors_np = np.zeros((self.cap_pad, dim), np.float32)
+        self.d_pad = pad_lane(dim)  # lane-padded allocation; see pad_lane
+        self.vectors_np = np.zeros((self.cap_pad, self.d_pad), np.float32)
         self.exists_np = np.zeros(self.cap_pad, bool)
         self.alive_np = np.zeros(self.cap_pad, bool)
         self.gids_np = np.full(self.cap_pad, -1, np.int64)  # vectorized gid join
@@ -189,7 +202,8 @@ class Segment:
                 f"({self.next_row}+{n} > {self.capacity})"
             )
         start = self.next_row
-        self.vectors_np[start : start + n] = rows
+        # rows arrive at the logical dim; pad columns stay zero
+        self.vectors_np[start : start + n, : rows.shape[1]] = rows
         self.exists_np[start : start + n] = True
         self.alive_np[start : start + n] = True
         if isinstance(self.payloads, list):
@@ -278,7 +292,7 @@ class Segment:
                 start = int(rec["start"])
                 rows = np.asarray(rec["vectors"], np.float32)
                 n = rows.shape[0]
-                self.vectors_np[start : start + n] = rows
+                self.vectors_np[start : start + n, : rows.shape[1]] = rows
                 self.exists_np[start : start + n] = True
                 self.alive_np[start : start + n] = True
                 self.gids_np[start : start + n] = np.asarray(rec["gids"], np.int64)
@@ -414,9 +428,13 @@ class Segment:
                 # too (exists False -> invisible) and get re-covered by the
                 # next sync since _dev_rows advances only to `stop`
                 span = min(_bucket_update(stop - start), self.cap_pad - start)
+                # ship LOGICAL-dim rows (the pad columns are zero on device
+                # since the initial upload and are never written after):
+                # each host->device put is a ~25 ms tunnel round-trip, so
+                # the narrower block saves d_pad/dim bytes per append sync
                 self._vectors_dev = _update_rows(
                     self._vectors_dev,
-                    self._put(self.vectors_np[start : start + span]),
+                    self._put(self.vectors_np[start : start + span, : self.dim]),
                     jnp.int32(start),
                 )
                 # flags beyond `stop` are forced False: those rows may be
@@ -531,7 +549,9 @@ class Segment:
 
     def to_arrays(self) -> dict:
         arrays = {
-            "vectors": self.vectors_np[: self.next_row],
+            # checkpoints store LOGICAL-dim rows (format unchanged across the
+            # r5 lane-padded allocation; load pads back — see pad_lane)
+            "vectors": self.vectors_np[: self.next_row, : self.dim],
             "exists": self.exists_np[: self.next_row],
             "alive": self.alive_np[: self.next_row],
             "next_row": np.array([self.next_row], np.int64),
@@ -569,7 +589,8 @@ class Segment:
                       payload_arena=payload_arena)
         n = int(arrays["next_row"][0])
         seg.next_row = n
-        seg.vectors_np[:n] = arrays["vectors"]
+        vec = arrays["vectors"]
+        seg.vectors_np[:n, : vec.shape[1]] = vec
         seg.exists_np[:n] = arrays["exists"]
         seg.alive_np[:n] = arrays["alive"]
         if "gids" in arrays:

@@ -92,12 +92,13 @@ class SealedStack:
 
     @property
     def xn2(self):
-        """Cached f32[S, N] squared norms of the stacked vectors, computed
-        once per stack snapshot: the exact kernel's column terms are pure
-        geometry (validity folds in at call time), so stacking amortizes the
-        [S, N, D] read over every query batch served from this snapshot."""
+        """Cached f32[S, N] squared norms: stacked from the members'
+        per-segment cached planes (Segment.xn2_dev, themselves cached per
+        device snapshot) — an [S, N] stack instead of the [S, N, D] reduce
+        this used to pay per stack snapshot. Zero pad columns don't change
+        norms, so the values are identical either way."""
         if self._xn2 is None:
-            self._xn2 = jnp.sum(self.vectors * self.vectors, axis=-1)
+            self._xn2 = jnp.stack([s.xn2_dev for s in self.segments])
         return self._xn2
 
     @property
@@ -129,7 +130,16 @@ class BruteStack:
         self._n_pad = 1
         while self._n_pad < len(segments):
             self._n_pad *= 2
+        # segments allocate lane-padded [cap_pad, d_pad] planes
+        # (segment.pad_lane), so _pad_dim is an identity here and the
+        # single-segment case — every writer batch under churn rebuilds the
+        # ACTIVE BruteStack — is ZERO-copy: the stack IS the device mirror.
         vecs = [_pad_dim(s.vectors_dev) for s in segments]
+        if self._n_pad == 1:
+            self.vectors = vecs[0]
+            self.alive = segments[0].alive_dev
+            self._xn2 = segments[0].xn2_dev
+            return
         if self._n_pad > len(segments):
             cap, dim = vecs[0].shape
             extra = self._n_pad - len(segments)
@@ -139,6 +149,8 @@ class BruteStack:
         self._xn2 = None
 
     def _stack_alive(self) -> jax.Array:
+        if self._n_pad == 1:
+            return self.segments[0].alive_dev
         alive = [s.alive_dev for s in self.segments]
         if self._n_pad > len(self.segments):
             extra = self._n_pad - len(self.segments)
@@ -147,9 +159,14 @@ class BruteStack:
 
     @property
     def xn2(self):
-        """Cached f32[S_pad * cap] squared norms (see SealedStack.xn2)."""
+        """Cached f32[S_pad * cap] squared norms, concatenated from the
+        members' cached planes (see SealedStack.xn2)."""
         if self._xn2 is None:
-            self._xn2 = jnp.sum(self.vectors * self.vectors, axis=-1)
+            parts = [s.xn2_dev for s in self.segments]
+            if self._n_pad > len(self.segments):
+                extra = self._n_pad - len(self.segments)
+                parts.append(jnp.zeros(extra * self.cap_pad, jnp.float32))
+            self._xn2 = jnp.concatenate(parts, axis=0)
         return self._xn2
 
     def refresh_flags(self) -> None:

@@ -543,7 +543,7 @@ class VectorStore:
                 start = int(rec["start"])
                 rows = np.asarray(rec["vectors"], np.float32)
                 n = rows.shape[0]
-                seg.vectors_np[start : start + n] = rows
+                seg.vectors_np[start : start + n, : rows.shape[1]] = rows
                 seg.exists_np[start : start + n] = True
                 seg.alive_np[start : start + n] = True
                 gids = np.asarray(rec["gids"], np.int64)

@@ -181,6 +181,108 @@ def _pool_kernel(
             outi_ref[:] = jnp.where(better, ids, outi_ref[:])
 
 
+def _packed_pool_kernel(
+    q_ref, x_ref, aux_ref, invs_ref, out_ref,
+    *, tile_n, chunk, bins, metric, fold, slot_f,
+):
+    """Packed single-output variant of _pool_kernel (VERDICT r4 #2): per-bin
+    (max score, winning slot) VALUE-packed into ONE f32 as
+
+        p = rint(v * mult) * F + local_slot,   F = fold * tile_n/bins
+
+    with |rint(..)| <= SQ = 2^23/F so |p| < 2^24: every packed value is an
+    EXACT f32 integer — a value cast, never a bitcast (TPU flushes denormal
+    bit patterns, CLAUDE.md). Ordering by p equals ordering by quantized
+    score (ties broken toward the higher slot — deterministic), so the
+    running max needs no argmax plane, the output-revisit fold merge is one
+    elementwise max, and stage 2 recovers (score, global row id) from the
+    packed value + its column index alone — deleting the i32 id plane (half
+    the pool HBM) AND the stage-2 take_along_axis id gather
+    (benchmarks/probe_stage2_composed.py).
+
+    Quantized value v and per-query factor `mult` (wrapper-precomputed,
+    invs_ref block 0; block 1 carries ||q||^2 for L2):
+      L2     -> v = -sqrt(||q||^2 - s) = -dist, mult = SQ/(||q||+mx). The
+                SQRT COMPRESSION is load-bearing for recall: quantizing the
+                rank score s (= -dist^2 up to a shift) spends its 2^17 steps
+                over a range ~maxd^2, resolving near-ties only to
+                ~maxd^2*2^-17 of dist^2 — measured recall 0.9984 vs the
+                0.999 gate at the sift1m shape. Quantizing dist itself
+                resolves to maxd*2^-17 ABSOLUTE distance (~8x finer at
+                typical top-k distances), restoring parity.
+      COSINE -> v = s = (q.x)/||x|| in [-||q||, ||q||], mult = SQ/||q||
+                (relative sim precision 2^-17 — far below near-tie gaps)."""
+    nt = pl.program_id(0)
+    qf = q_ref[:]
+    qhi = qf.astype(jnp.bfloat16)
+    qlo = (qf - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    mult = invs_ref[:, 0:1]  # [Qp, 1] per-query quantization factor
+    if metric != "COSINE":
+        qn2 = invs_ref[:, 128:129]  # [Qp, 1] ||q||^2 (L2 sqrt compression)
+    slot_base = (nt % fold) * (tile_n // bins)
+
+    # Inner loop tracks RAW (max score, slot) registers exactly like the
+    # two-plane kernel — 3 VPU ops per element. Compression to the packed
+    # value runs ONCE PER TILE on the [Qp, BINS_T] block (bins/tile_n = 1/8
+    # of the elements): an in-loop per-element sqrt variant measured
+    # 5.0 ms vs 3.2 linear at the sift1m shape — the sqrt is only
+    # affordable at the tile epilogue, where it costs N/8 elements.
+    m = jnp.full((qf.shape[0], bins), -jnp.inf, dtype=jnp.float32)
+    a = jnp.zeros(m.shape, dtype=jnp.int32)
+    g = 0
+    for c in range(tile_n // chunk):
+        xf = x_ref[c * chunk : (c + 1) * chunk, :]
+        xhi = xf.astype(jnp.bfloat16)
+        xlo = (xf - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cross = jax.lax.dot_general(
+            qhi, xhi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        cross += jax.lax.dot_general(
+            qhi, xlo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        cross += jax.lax.dot_general(
+            qlo, xhi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # [Qp, CHUNK]
+        if metric == "COSINE":
+            s = (
+                cross * aux_ref[0, c * chunk : (c + 1) * chunk][None, :]
+                + aux_ref[1, c * chunk : (c + 1) * chunk][None, :]
+            )
+        else:
+            s = cross - aux_ref[0, c * chunk : (c + 1) * chunk][None, :]
+        for t in range(chunk // bins):
+            st = s[:, t * bins : (t + 1) * bins]
+            # comparison update (never jnp.maximum): the grid tile past n
+            # reads undefined memory whose scores can be NaN, and
+            # (NaN > m) = False keeps m clean
+            better = st > m
+            m = jnp.where(better, st, m)
+            a = jnp.where(better, g, a)
+            g += 1
+    # tile epilogue: compress (score, slot) into the single packed value
+    if metric == "COSINE":
+        v = m
+    else:
+        # v = -dist (sqrt compression; dead bin: m=-inf -> v=-inf)
+        v = -jnp.sqrt(jnp.maximum(qn2 - m, 0.0))
+    p = jnp.rint(v * mult) * slot_f + (slot_base + a).astype(jnp.float32)
+    if fold == 1:
+        out_ref[:] = p
+    else:
+        @pl.when(nt % fold == 0)
+        def _():
+            out_ref[:] = p
+
+        @pl.when(nt % fold != 0)
+        def _():
+            prev = out_ref[:]
+            out_ref[:] = jnp.where(p > prev, p, prev)  # p is never NaN here
+
+
 def _auto_fold(w_raw: int, requested: int | None,
                min_w: int = 16384) -> int:
     """Fold factor for output revisiting: merge tiles until the pool is
@@ -197,6 +299,20 @@ def _auto_fold(w_raw: int, requested: int | None,
     while f < 8 and w_raw // f > min_w:
         f *= 2
     return f
+
+
+def _stage1_params(qn: int, d: int, n: int, tile_n: int | None,
+                   fold: int | None, min_w: int):
+    """Static stage-1 geometry shared by the two-plane and packed kernels —
+    and by the packed DECODE, which must reproduce exactly the (tile, bins,
+    fold) the kernel used to reconstruct global row ids."""
+    qp = max(8, -(-qn // 8) * 8)
+    tile, chunk = _auto_tile(qp, d, tile_n)
+    bins = _BINS * max(1, tile // 1024)
+    nn = -(-n // tile)
+    f = _auto_fold(nn * bins, fold, min_w)
+    ng = -(-nn // f)
+    return qp, tile, chunk, bins, nn, f, ng * bins
 
 
 @functools.partial(
@@ -225,19 +341,15 @@ def exact_bin_pool(
     is computed here (one extra HBM pass over x)."""
     qn, d = q.shape
     n = x.shape[0]
-    qp = max(8, -(-qn // 8) * 8)
-    tile, chunk = _auto_tile(qp, d, tile_n)
     # One [Qp, 128*(tile/1024)] bin row per tile. 128 bins/tile at tile=4096
     # would quarter the pool width but that kernel variant reliably WEDGES
     # the Mosaic compile server-side (>9 min, twice); pool-width reduction
     # happens via output-revisit folding instead (same VMEM shape).
-    bins = _BINS * max(1, tile // 1024)
+    qp, tile, chunk, bins, nn, f, w = _stage1_params(
+        qn, d, n, tile_n, fold, min_w
+    )
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
-    nn = -(-n // tile)
-    f = _auto_fold(nn * bins, fold, min_w)
-    ng = -(-nn // f)
-    w = ng * bins
     # column terms precomputed OUTSIDE the kernel (one [N]-sized pass) with
     # validity folded in: the kernel epilogue is a single VPU op per chunk
     # instead of the norm-reduce + mul + sub + mask select it replaced
@@ -293,6 +405,138 @@ def exact_bin_pool(
     return outs[:qn], outi[:qn]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "tile_n", "interpret", "fold", "min_w"),
+)
+def exact_bin_pool_packed(
+    q: jax.Array,  # f32[Q, D]
+    x: jax.Array,  # f32[N, D]
+    valid: jax.Array,  # bool[N]
+    metric: str = "L2",
+    tile_n: int | None = None,
+    interpret: bool = False,
+    xn2: jax.Array | None = None,
+    fold: int | None = None,
+    min_w: int = 16384,
+):
+    """Packed stage 1 (see _packed_pool_kernel): ONE f32[Q, W] plane whose
+    values order by quantized score and carry the winning slot; plus the
+    per-query dequantization scale f32[Q]. Decode with decode_packed_pool
+    (same static args — the geometry must match)."""
+    qn, d = q.shape
+    n = x.shape[0]
+    qp, tile, chunk, bins, nn, f, w = _stage1_params(
+        qn, d, n, tile_n, fold, min_w
+    )
+    slot_f = float(f * (tile // bins))
+    sq_steps = float(1 << 23) / slot_f  # |rint| <= SQ keeps |p| < 2^24
+    if qp != qn:
+        q = jnp.pad(q, ((0, qp - qn), (0, 0)))
+    if xn2 is None:
+        xf32 = x.astype(jnp.float32)
+        xn2 = jnp.sum(xf32 * xf32, axis=1)
+    pad_n = nn * tile - n
+    qf = q.astype(jnp.float32)
+    qnorm = jnp.sqrt(jnp.sum(qf * qf, axis=1))  # [Qp]
+    if metric == "COSINE":
+        nz = valid & (xn2 > 0.0)
+        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, xn2, 1.0)), 0.0)
+        bias = jnp.where(valid, 0.0, -jnp.inf)
+        aux = jnp.stack([
+            jnp.pad(inv, (0, pad_n)),
+            jnp.pad(bias, (0, pad_n), constant_values=-jnp.inf),
+        ])
+        q_in = qf
+        # |s| = |q.x| / ||x|| <= ||q||: a true bound on every valid score
+        scale = jnp.maximum(qnorm, 1e-30)
+        qn2_plane = jnp.zeros_like(scale)
+    else:
+        xadj = jnp.where(valid, xn2, jnp.inf)
+        aux = jnp.pad(xadj, (0, pad_n), constant_values=jnp.inf)[None, :]
+        q_in = qf * 2.0
+        # dist = ||q - x|| <= ||q|| + mx over valid rows (sqrt compression:
+        # the kernel quantizes -dist, see _packed_pool_kernel)
+        mx2 = jnp.max(jnp.where(valid, xn2, 0.0))
+        scale = jnp.maximum(qnorm + jnp.sqrt(mx2), 1e-30)
+        qn2_plane = qnorm * qnorm
+    # per-query [mult | ||q||^2] planes, each lane-replicated to a 128-wide
+    # block so the kernel reads clean VMEM slices (a width-1 trailing dim
+    # fights the lane layout)
+    invs = jnp.concatenate([
+        jnp.broadcast_to((sq_steps / scale)[:, None], (qp, 128)),
+        jnp.broadcast_to(qn2_plane[:, None], (qp, 128)),
+    ], axis=1)
+    packed = pl.pallas_call(
+        functools.partial(
+            _packed_pool_kernel, tile_n=tile, chunk=chunk, bins=bins,
+            metric=metric, fold=f, slot_f=slot_f,
+        ),
+        grid=(nn,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (aux.shape[0], tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((qp, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (qp, bins), lambda i: (0, i // f), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((qp, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * qp * nn * tile * d,
+            bytes_accessed=n * d * 4 + n * 4 + qp * d * 4 + qp * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_in, x, aux.astype(jnp.float32), invs.astype(jnp.float32))
+    return packed[:qn], scale[:qn] / sq_steps
+
+
+def decode_packed_pool(
+    pvals: jax.Array,  # f32[Q, E] selected packed values
+    pos: jax.Array,  # i32[Q, E] their column indices in the [Q, W] pool
+    step: jax.Array,  # f32[Q] dequantization step (scale/SQ)
+    q: jax.Array,  # f32[Q, D] queries (||q||^2 for the L2 dequant)
+    metric: str,
+    *, d: int, n: int, qn: int, tile_n: int | None, fold: int | None,
+    min_w: int,
+):
+    """(packed value, pool column) -> (rank score f32, global row id i32),
+    pure per-element algebra — the id gather this replaces cost ~0.6 ms
+    composed at the sift1m shape. Static args MUST match the
+    exact_bin_pool_packed call that produced the pool.
+
+    Dequantization inverts the kernel's packing (see _packed_pool_kernel):
+      L2     -> dist = -s_q*step, score = ||q||^2 - dist^2 (the
+                pairwise_rank_scores convention exact_finalize expects)
+      COSINE -> score = s_q*step."""
+    _qp, tile, _chunk, bins, _nn, f, _w = _stage1_params(
+        qn, d, n, tile_n, fold, min_w
+    )
+    slot_f = float(f * (tile // bins))
+    ok = pvals > -jnp.inf
+    pv = jnp.where(ok, pvals, 0.0)  # keep the int algebra NaN-free
+    sq = jnp.floor(pv / slot_f)  # exact: slot_f is a power of two
+    slot = (pv - sq * slot_f).astype(jnp.int32)  # [0, F)
+    if metric == "COSINE":
+        scores = sq * step[:, None]
+    else:
+        qf = q.astype(jnp.float32)
+        qn2 = jnp.sum(qf * qf, axis=1)[:, None]
+        dist = -sq * step[:, None]
+        scores = qn2 - dist * dist
+    scores = jnp.where(ok, scores, -jnp.inf)
+    group = pos // bins
+    lane = pos % bins
+    nt = group * f + slot // (tile // bins)
+    a = slot % (tile // bins)
+    rows = nt * tile + a * bins + lane
+    return scores, jnp.where(ok, rows, -1)
+
+
 def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
     """Paired elementwise max over adjacent bins: [Q, W] -> [Q, W/2] per
     halving. Equivalent to having run stage 1 with double-size bins (the
@@ -314,7 +558,7 @@ def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
     jax.jit,
     static_argnames=(
         "ef_buf", "metric", "tile_n", "interpret", "stage2_rt", "stage2_halve",
-        "fold",
+        "fold", "packed",
     ),
 )
 def exact_pool_scored_pallas(
@@ -330,6 +574,7 @@ def exact_pool_scored_pallas(
     stage2_halve: int = 0,
     xn2: jax.Array | None = None,
     fold: int | None = None,
+    packed: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact candidate pool WITH its rank scores:
     (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
@@ -337,10 +582,39 @@ def exact_pool_scored_pallas(
     L2 -> 2 q.x - ||x||^2, COSINE -> (q.x)/||x|| — exactly the
     ops/distance.pairwise_rank_scores conventions, so
     ops/traversal.exact_finalize can reconstruct true distances from them
-    with no candidate-row gather."""
+    with no candidate-row gather.
+
+    ``packed`` (default, r5): stage 1 emits the single packed score|slot
+    plane and stage 2 decodes ids algebraically — no i32 id plane, no
+    take_along_axis gather (see _packed_pool_kernel). Scores carry the
+    ~2^-17-of-bound quantization of the packing; pass packed=False for the
+    two-plane kernel (full split-bf16 score precision, used by sweeps and
+    by stage2_halve which reduces (score, id) pairs)."""
+    min_w = max(16384, 4 * ef_buf)
+    if packed and not stage2_halve:
+        pool, step = exact_bin_pool_packed(
+            q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret,
+            xn2=xn2, fold=fold, min_w=min_w,
+        )
+        w = pool.shape[1]
+        if w <= 2 * ef_buf:
+            pv, pos = jax.lax.top_k(pool, min(ef_buf, w))
+            if pos.shape[1] < ef_buf:
+                pad = ef_buf - pos.shape[1]
+                pv = jnp.pad(pv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+                pos = jnp.pad(pos, ((0, 0), (0, pad)))
+        else:
+            pv, pos = jax.lax.approx_max_k(
+                pool, ef_buf, recall_target=stage2_rt
+            )
+        return decode_packed_pool(
+            pv, pos.astype(jnp.int32), step, q, metric,
+            d=q.shape[1], n=x.shape[0], qn=q.shape[0], tile_n=tile_n,
+            fold=fold, min_w=min_w,
+        )
     outs, outi = exact_bin_pool(
         q, x, valid, metric=metric, tile_n=tile_n, interpret=interpret,
-        xn2=xn2, fold=fold, min_w=max(16384, 4 * ef_buf),
+        xn2=xn2, fold=fold, min_w=min_w,
     )
     if stage2_halve:
         outs, outi = _halve_pool(outs, outi, stage2_halve)

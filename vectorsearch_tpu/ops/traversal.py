@@ -244,6 +244,10 @@ def exact_rerank(
     product by the two norms; zero norms yield similarity 0).
     """
     qf = q.astype(jnp.float32)
+    if qf.shape[1] < vectors.shape[1]:
+        # segments allocate lane-padded vector planes (segment.pad_lane);
+        # zero pads change neither dots nor norms
+        qf = jnp.pad(qf, ((0, 0), (0, vectors.shape[1] - qf.shape[1])))
     safe = jnp.maximum(cand_idx, 0)
     vecs = vectors[safe].astype(jnp.float32)  # [Q, C, D]
     ok = (cand_idx >= 0) & alive[safe]
