@@ -108,19 +108,25 @@ def main():
                            jnp.take_along_axis(d_, pos, axis=1))
         return f
 
-    # recall gates (32 queries, packed fold 8/64 on the 8M subgroup)
+    # ground truth once: one BLAS gemm (16 queries x 8M) beats 8M-row
+    # np.linalg.norm loops by ~50x on this 1-core host
+    nq_gate = 16
+    s_true = 2.0 * (qh[:nq_gate] @ xh[:N8].T) - (xh[:N8] ** 2).sum(1)[None, :]
+    truth = [set(np.argpartition(-s_true[i], K)[:K].tolist())
+             for i in range(nq_gate)]
+    del s_true
+
+    # recall gates (packed fold 8/64 on the 8M subgroup)
     for fold in (8, 64):
         ps, pi = pe.exact_pool_scored_pallas(
             q0, x8, v8, ef_buf=EF, xn2=xn8, packed=True, fold=fold)
         _sc, _di, iv = tr.exact_finalize(q0, ps, pi, K, "L2")
         iv = np.asarray(iv)
-        hits = 0
-        for i in range(32):
-            dd = np.linalg.norm(xh[:N8] - qh[i], axis=1)
-            truth = set(np.argpartition(dd, K)[:K].tolist())
-            hits += len(truth & set(iv[i].tolist()))
+        hits = sum(
+            len(truth[i] & set(iv[i].tolist())) for i in range(nq_gate)
+        )
         print(json.dumps({"metric": f"recall_at10_packed_fold{fold}_8M",
-                          "recall": hits / (32 * K)}), flush=True)
+                          "recall": hits / (nq_gate * K)}), flush=True)
 
     for fold in (8, 16, 32, 64):
         chain_time(f"packed8M_fold{fold}", jax.jit(tail8(True, fold)), qs,
