@@ -97,6 +97,50 @@ def main():
     vals = [round(window(), 1) for _ in range(4)]
     print(json.dumps({"metric": "idle_qps_windows", "values": vals,
                       "median": round(float(np.median(vals)), 1)}), flush=True)
+
+    # r5: the chained device time for the full 10M dispatch set is ~26 ms
+    # (probe_deep_fold: 8M scan + 2M scan + merge) yet idle serves
+    # 57 ms/batch — locate the gap: (a) more in-flight clients to overlap
+    # more tunnel round-trips, (b) DEVICE-RESIDENT query batches (kills the
+    # per-batch 196 KB host->device put).
+    vals16 = [round(window(in_flight=16), 1) for _ in range(3)]
+    print(json.dumps({"metric": "idle_qps_16clients", "values": vals16,
+                      "median": round(float(np.median(vals16)), 1)}),
+          flush=True)
+
+    import jax.numpy as jnp
+    qdev = [jnp.asarray(q[off:off + 512]) for off in range(0, 512 * 8, 512)]
+    import jax
+    jax.block_until_ready(qdev)
+
+    def window_dev(seconds=6.0, in_flight=8):
+        stop = [False]
+        counts = [0] * in_flight
+
+        def client(i):
+            done = 0
+            while not stop[0]:
+                idx.query_batch_arrays(qdev[(i + done) % len(qdev)], k, params)
+                done += 1
+                counts[i] += 512
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(in_flight)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(seconds)
+        stop[0] = True
+        for t in threads:
+            t.join()
+        return sum(counts) / (time.perf_counter() - t0)
+
+    window_dev(3.0)
+    valsd = [round(window_dev(), 1) for _ in range(3)]
+    print(json.dumps({"metric": "idle_qps_device_resident_q",
+                      "values": valsd,
+                      "median": round(float(np.median(valsd)), 1)}),
+          flush=True)
     idx.close()
 
 

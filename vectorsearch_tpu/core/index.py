@@ -969,7 +969,15 @@ class VectorIndex:
         as_arrays: bool = False,
     ):
         t0 = time.monotonic()
-        qs = np.asarray(qs, np.float32)
+        if isinstance(qs, jax.Array):
+            # device-resident fast path: a jax Array skips the numpy round
+            # trip (np.asarray on a device array FETCHES it host-side — a
+            # full tunnel RTT — only to re-upload it). Serving stacks that
+            # batch on device pass their arrays straight through.
+            if qs.dtype != jnp.float32:
+                qs = qs.astype(jnp.float32)
+        else:
+            qs = np.asarray(qs, np.float32)
         if qs.ndim != 2 or qs.shape[1] != self.config.dimension:
             raise ValueError(
                 f"query dimension mismatch: expected {self.config.dimension}"
@@ -1002,9 +1010,12 @@ class VectorIndex:
         # they never reach result construction.
         nq_dev = self._query_pad_bucket(nq)
         if nq_dev != nq:
-            qs = np.concatenate(
-                [qs, np.zeros((nq_dev - nq, qs.shape[1]), np.float32)]
-            )
+            if isinstance(qs, jax.Array):
+                qs = jnp.pad(qs, ((0, nq_dev - nq), (0, 0)))
+            else:
+                qs = np.concatenate(
+                    [qs, np.zeros((nq_dev - nq, qs.shape[1]), np.float32)]
+                )
         self._last_query_sig = (nq_dev, k, params)  # shape-warm target
 
         brute_segs: list[Segment] = []
