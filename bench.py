@@ -120,7 +120,15 @@ def measure_qps(idx, queries, k, batch, seconds=4.0, params=None, in_flight=8,
     consecutive window boundaries of `seconds` each, the FIRST window is
     discarded (first timed loop of a fresh program reads 3-10x slow even
     after warmup, CLAUDE.md), and the result is (median, lo, hi) over the
-    remaining windows."""
+    remaining windows.
+
+    Every call's query block is perturbed by a fresh per-call scalar: the
+    axon runtime MEMOIZES repeated identical executions (CLAUDE.md), and a
+    window cycling a handful of slices repeats each dozens of times — the
+    memoizer hits inflate QPS by a program-structure-dependent amount
+    (measured in r5: two serving variants read 28k vs 21k on repeated
+    slices but 35k vs 34k on unique ones). The ~0.15 ms numpy add per call
+    is real host work a real client would also do to build its batch."""
     import threading
 
     call = idx.query_batch_arrays if arrays else idx.query_batch
@@ -132,7 +140,8 @@ def measure_qps(idx, queries, k, batch, seconds=4.0, params=None, in_flight=8,
         done = 0
         while not stop[0]:
             off = (i * batch + done) % (len(queries) - batch)
-            call(queries[off : off + batch], k, params)
+            uniq = np.float32(i * 1_000_003 + done) * np.float32(1e-7)
+            call(queries[off : off + batch] + uniq, k, params)
             done += batch
             counts[i] += batch
 

@@ -78,7 +78,11 @@ def main():
             done = 0
             while not stop[0]:
                 off = (i * 512 + done) % (len(q) - 512)
-                idx.query_batch_arrays(q[off:off + 512], k, params)
+                # per-call-unique block: the axon runtime memoizes repeated
+                # identical executions (CLAUDE.md) — cycling 7 slices would
+                # let memoizer hits inflate the window
+                uniq = np.float32(i * 1_000_003 + done) * np.float32(1e-7)
+                idx.query_batch_arrays(q[off:off + 512] + uniq, k, params)
                 done += 512
                 counts[i] += 512
 

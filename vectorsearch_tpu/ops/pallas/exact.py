@@ -32,6 +32,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vectorsearch_tpu.ops.pallas.adc import is_tpu_backend
 
+import os
+
+# Packed score|slot kernel policy (r5): packed=None resolves by ROW COUNT.
+# Measured on chip with per-call-unique serving windows (probe_packed_window
+# + probe_deep_idle A/B): at 1M rows the two-plane kernel serves ~5-10%
+# higher (34.7-35.9k vs 30.6-33.8k QPS — the packed tail saving is real
+# chained but the serving path at <=1M is host/tunnel-bound and the packed
+# program pipelines slightly worse), while at 10M packed wins (13.6k vs
+# 13.1k median idle; its halved pool write and gather-free stage 2 scale
+# with N). VSTPU_EXACT_PACKED=0/1 forces either kernel globally.
+_PACKED_ENV = os.environ.get("VSTPU_EXACT_PACKED")
+_PACKED_MIN_ROWS = 2_000_000
+
+
+def _packed_default(n_rows: int) -> bool:
+    if _PACKED_ENV is not None:
+        return _PACKED_ENV != "0"
+    return n_rows >= _PACKED_MIN_ROWS
+
 _BINS = 128  # one lane row of bins per tile
 
 # Below this row count the XLA pool's intermediate is small enough that the
@@ -554,6 +573,32 @@ def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
     return outs, outi
 
 
+def exact_pool_scored_pallas(
+    q: jax.Array,
+    x: jax.Array,
+    valid: jax.Array,
+    *,
+    ef_buf: int,
+    metric: str = "L2",
+    tile_n: int | None = None,
+    interpret: bool = False,
+    stage2_rt: float = 0.99,
+    stage2_halve: int = 0,
+    xn2: jax.Array | None = None,
+    fold: int | None = None,
+    packed: bool | None = None,
+):
+    """Resolves packed=None -> _packed_default(N) OUTSIDE the jit: a static
+    arg resolved inside the traced body would bake the first-seen default
+    into the cached trace for the key packed=None."""
+    return _exact_pool_scored_impl(
+        q, x, valid, ef_buf=ef_buf, metric=metric, tile_n=tile_n,
+        interpret=interpret, stage2_rt=stage2_rt, stage2_halve=stage2_halve,
+        xn2=xn2, fold=fold,
+        packed=_packed_default(x.shape[0]) if packed is None else packed,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -561,7 +606,7 @@ def _halve_pool(outs: jax.Array, outi: jax.Array, times: int):
         "fold", "packed",
     ),
 )
-def exact_pool_scored_pallas(
+def _exact_pool_scored_impl(
     q: jax.Array,  # f32[Q, D]
     x: jax.Array,  # f32[N, D]
     valid: jax.Array,  # bool[N]
