@@ -128,7 +128,10 @@ def main():
             done = 0
             while not stop[0]:
                 off = (i * 512 + done) % (len(q) - 512)
-                reader.query_batch_arrays(q[off:off + 512], K, params)
+                # per-call-unique block: the axon memoizer inflates windows
+                # that repeat identical calls (CLAUDE.md r5 trap)
+                uniq = np.float32(i * 1_000_003 + done) * np.float32(1e-7)
+                reader.query_batch_arrays(q[off:off + 512] + uniq, K, params)
                 done += 512
                 counts[i] += 512
 
