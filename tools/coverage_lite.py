@@ -75,13 +75,40 @@ def executable_lines(path: str) -> set[int]:
 
 
 def branch_sites(path: str) -> set[tuple[str, int]]:
-    """(qualname, offset) of every conditional-branch instruction."""
+    """(qualname, offset) of every conditional-branch instruction.
+
+    Excluded: the POP_JUMP_IF_TRUE immediately following WITH_EXCEPT_START —
+    the compiler-synthesized ``with``-cleanup check that only executes while
+    an exception unwinds through the ``with`` (and whose "suppressed"
+    outcome is unreachable for non-suppressing managers like locks). Every
+    ``with`` block in the package contributed one permanently-half-covered
+    phantom site; JaCoCo's arc analysis does not count these either."""
     sites: set[tuple[str, int]] = set()
     for co in _walk_code(path):
+        prev = None
         for instr in dis.get_instructions(co):
-            if instr.opname in COND_OPS:
+            if (
+                instr.opname in COND_OPS
+                and not (prev is not None
+                         and prev.opname == "WITH_EXCEPT_START")
+            ):
                 sites.add((co.co_qualname, instr.offset))
+            prev = instr
     return sites
+
+
+def branch_site_lines(path: str) -> dict[tuple[str, int], int]:
+    """(qualname, offset) -> source line, for the missing-site report
+    (COVLITE_MISSING=<file substr>[,<substr>...])."""
+    lines: dict[tuple[str, int], int] = {}
+    for co in _walk_code(path):
+        ln = None
+        for instr in dis.get_instructions(co):
+            if instr.starts_line is not None:
+                ln = instr.starts_line
+            if instr.opname in COND_OPS:
+                lines[(co.co_qualname, instr.offset)] = ln or 0
+    return lines
 
 
 def main() -> int:
@@ -161,6 +188,18 @@ def main() -> int:
             total_br_hit += br_hit
             rows.append((os.path.relpath(path, ROOT), len(h), len(ex),
                          br_hit, br))
+            want = os.environ.get("COVLITE_MISSING", "")
+            if want and any(s and s in path for s in want.split(",")):
+                site_lines = branch_site_lines(path)
+                missed = sorted(
+                    (site_lines.get((qn, off), 0), qn, off,
+                     len(bhits.get((path, qn, off), ())))
+                    for (qn, off) in sites
+                    if len(bhits.get((path, qn, off), ())) < 2
+                )
+                for ln, qn, off, got in missed:
+                    print(f"MISS {os.path.relpath(path, ROOT)}:{ln} "
+                          f"{qn} ({got}/2)")
 
     print(f"\n{'file':<52} {'hit':>6} {'exec':>6} {'pct':>7} "
           f"{'br':>9} {'brpct':>7}")
