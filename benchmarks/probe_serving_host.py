@@ -76,7 +76,11 @@ def main():
             done = 0
             while not stop[0]:
                 off = (i * 512 + done) % (len(q) - 512)
-                idx.query_batch_arrays(q[off:off + 512], k)
+                # per-call-unique block: the axon memoizer inflates windows
+                # repeating identical calls (CLAUDE.md r5 trap) — the r4
+                # 25.7-41.5k "session band" was measured WITHOUT this
+                uniq = np.float32(i * 1_000_003 + done) * np.float32(1e-7)
+                idx.query_batch_arrays(q[off:off + 512] + uniq, k)
                 done += 512
                 counts[i] += 512
 
@@ -101,8 +105,9 @@ def main():
     ts = []
     for i in range(20):
         off = (i * 512) % (len(q) - 512)
+        qb = q[off:off + 512] + np.float32(i) * np.float32(1e-7)  # unique
         t0 = time.perf_counter()
-        idx.query_batch_arrays(q[off:off + 512], k)
+        idx.query_batch_arrays(qb, k)
         ts.append((time.perf_counter() - t0) * 1e3)
     print(json.dumps({"metric": "single_client_batch_ms",
                       "median": round(float(np.median(ts)), 1)}), flush=True)
