@@ -178,8 +178,12 @@ def _sealed_exact_pool_scored(q, vectors, valid, xn2=None, *, ef_buf, metric):
     if pallas_exact.use_fused_exact_pool(
         vectors.shape[0], vectors.shape[1], ef_buf
     ):
+        # stage2_agg=False: the serving path's finalize is algebraic, so the
+        # unaggregated stage-2 output is strictly better — faster AND exact
+        # (see _exact_pool_scored_impl's stage2_agg note)
         return pallas_exact.exact_pool_scored_pallas(
-            q, vectors, valid, ef_buf=ef_buf, metric=metric, xn2=xn2
+            q, vectors, valid, ef_buf=ef_buf, metric=metric, xn2=xn2,
+            stage2_agg=False,
         )
     scores = distance_ops.pairwise_rank_scores(
         q, vectors, valid, metric, precision=jax.lax.Precision.HIGHEST

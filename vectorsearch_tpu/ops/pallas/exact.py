@@ -587,6 +587,7 @@ def exact_pool_scored_pallas(
     xn2: jax.Array | None = None,
     fold: int | None = None,
     packed: bool | None = None,
+    stage2_agg: bool = True,
 ):
     """Resolves packed=None -> _packed_default(N) OUTSIDE the jit: a static
     arg resolved inside the traced body would bake the first-seen default
@@ -596,6 +597,7 @@ def exact_pool_scored_pallas(
         interpret=interpret, stage2_rt=stage2_rt, stage2_halve=stage2_halve,
         xn2=xn2, fold=fold,
         packed=_packed_default(x.shape[0]) if packed is None else packed,
+        stage2_agg=stage2_agg,
     )
 
 
@@ -603,7 +605,7 @@ def exact_pool_scored_pallas(
     jax.jit,
     static_argnames=(
         "ef_buf", "metric", "tile_n", "interpret", "stage2_rt", "stage2_halve",
-        "fold", "packed",
+        "fold", "packed", "stage2_agg",
     ),
 )
 def _exact_pool_scored_impl(
@@ -620,6 +622,7 @@ def _exact_pool_scored_impl(
     xn2: jax.Array | None = None,
     fold: int | None = None,
     packed: bool = True,
+    stage2_agg: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact candidate pool WITH its rank scores:
     (scores f32[Q, ef_buf], row ids i32[Q, ef_buf]) — -inf/-1 = empty slot.
@@ -649,8 +652,19 @@ def _exact_pool_scored_impl(
                 pv = jnp.pad(pv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
                 pos = jnp.pad(pos, ((0, 0), (0, pad)))
         else:
+            # stage2_agg=False (the serving path): skip approx_max_k's final
+            # aggregation sort and return the UNAGGREGATED per-bin maxima —
+            # the caller's exact_finalize top_k eats the wider pool directly.
+            # Measured chained at Q=512/N=1M (probe_stage2_variants):
+            # 3.01 ms vs 3.34 aggregated AND recall 1.0 vs 0.99922 (the
+            # aggregation was stage 2's only approximation). Decode is
+            # per-element algebra, so the wider output costs ~nothing; keep
+            # aggregation for pool consumers that GATHER per candidate
+            # (ops/graph knn: a 124x wider pool would explode its
+            # [B, ef, D] vector gather).
             pv, pos = jax.lax.approx_max_k(
-                pool, ef_buf, recall_target=stage2_rt
+                pool, ef_buf, recall_target=stage2_rt,
+                aggregate_to_topk=stage2_agg,
             )
         return decode_packed_pool(
             pv, pos.astype(jnp.int32), step, q, metric,
