@@ -149,8 +149,10 @@ class WorkerConfig:
             raise ValueError("queryBreakdownSampleEvery must be >= 0")
         if self.writer_lease_ttl_ms < 0:
             raise ValueError("writerLeaseTtlMs must be >= 0")
-        if self.writer_conflict_policy not in ("raise", "wait"):
-            raise ValueError("writerConflictPolicy must be 'raise' or 'wait'")
+        if self.writer_conflict_policy not in ("raise", "wait", "concurrent"):
+            raise ValueError(
+                "writerConflictPolicy must be 'raise', 'wait', or 'concurrent'"
+            )
         if self.writer_conflict_wait_timeout_s < 0:
             raise ValueError("writerConflictWaitTimeout must be >= 0")
 
@@ -236,8 +238,15 @@ class VectorIndexConfig:
     # cluster layer's write forwarding); "wait" blocks until the foreign
     # lease expires or is released (up to writer_conflict_wait_timeout_s,
     # then raises). The reference supports true concurrent writers via FDB
-    # serializable transactions (fdb/FdbVectorStore.java:575-601); the
-    # rebuild's model is one writer at a time, enforced at lease acquisition.
+    # serializable transactions (fdb/FdbVectorStore.java:575-601);
+    # "concurrent" is this rebuild's equivalent capability: N processes
+    # ingest at once, each appending to its OWN ACTIVE segment with gid /
+    # segment-id blocks allocated from shared transactional counters in
+    # storage, control-state checkpoints merged under the cross-process
+    # state lock, and cross-writer deletes routed through per-segment
+    # overlay delete logs (core/store.py "concurrent writers" section).
+    # Gid-remapping maintenance (vacuum/compaction) still requires
+    # exclusivity and defers while other writers are live.
     writer_conflict_policy: str = "raise"
     writer_conflict_wait_timeout_s: float = 30.0
     metric_attributes: Dict[str, str] = dataclasses.field(default_factory=dict)

@@ -705,6 +705,26 @@ class VectorIndex:
                 )
                 self._maint_pool.start(eff.local_maintenance_worker_threads)
 
+        # Pre-compile the incremental-sync bucket ladder for the ACTIVE
+        # segment's shape in the background: each bucket otherwise compiles
+        # on FIRST use (0.5-1.6 s each through the axon tunnel), and under a
+        # churn-rate writer the escalating spans put ~10-15 s of compile
+        # stalls under the device lock mid-serving (the r5 churn-attribution
+        # probe measured an adds-only phase at 0 QPS from this;
+        # benchmarks/probe_churn_attrib.py / probe_sync_compile.py).
+        def _warm_sync_ladder():
+            try:
+                seg = self.store.segments.get(self.store.current_segment)
+                if seg is not None:
+                    seg.warm_update_programs()
+            except Exception:
+                LOG.debug("sync-ladder warm failed", exc_info=True)
+
+        try:
+            self._executor().submit(_warm_sync_ladder)
+        except Exception:
+            LOG.debug("sync-ladder warm scheduling failed", exc_info=True)
+
     # ------------------------------------------------------------- lifecycle
 
     @classmethod
@@ -973,6 +993,7 @@ class VectorIndex:
         as_arrays: bool = False,
     ):
         t0 = time.monotonic()
+        self.store.note_query()  # gates the background syncer's eager mode
         if isinstance(qs, jax.Array):
             # device-resident fast path: a jax Array skips the numpy round
             # trip (np.asarray on a device array FETCHES it host-side — a

@@ -78,6 +78,24 @@ class MaintenanceService:
         if self._refuse_for_foreign_writer(what):
             yield False
             return
+        if self.store.concurrent_writers:
+            # concurrent-writer mode: remaps need the EXCLUSIVE maintenance
+            # slot (our own writer lease does not conflict with it). While
+            # held, checkpoint_state writes full local state (registry
+            # removals land), and pending cross-writer overlay deletes are
+            # drained first so the remap sees every committed tombstone.
+            if not self.store.try_acquire_writer_lease(maintenance=True):
+                self._refuse_for_foreign_writer(what)
+                yield False
+                return
+            self.store.maintenance_exclusive = True
+            try:
+                self.store.refresh()  # drain overlay deletes + peer WALs
+                yield True
+            finally:
+                self.store.maintenance_exclusive = False
+                self.store.release_writer_lease(maintenance_only=True)
+            return
         held_before = self.store.holds_live_lease()
         if not held_before and not self.store.try_acquire_writer_lease():
             # lost the race to a writer between the check and the acquire
@@ -323,8 +341,7 @@ class MaintenanceService:
                 n_dest = max(1, -(-total_live // cfg.max_segment_size))
                 dests: list = []
                 for _ in range(n_dest):
-                    dest_id = store.max_segment_id + 1
-                    store.max_segment_id = dest_id
+                    dest_id = store._alloc_segment_id_locked()
                     d = store._new_segment(dest_id, SegmentState.WRITING)
                     store.segments[dest_id] = d  # not in registry => invisible
                     dests.append(d)
@@ -402,6 +419,13 @@ class MaintenanceService:
                         store.registry.remove(seg.seg_id)
                     store.segments.pop(seg.seg_id, None)
                     store.storage.delete_segment(store.name, seg.seg_id)
+                    # drop the source's logs too (its overlay delete log
+                    # would otherwise replay onto a future segment reusing
+                    # the id — ids never recycle, but debris is debris)
+                    store.storage.wal_reset(store.name, seg.seg_id)
+                    store.storage.wal_reset(
+                        store.name, seg.seg_id + store._OVERLAY_BASE
+                    )
                 for dest_id in dest_ids:
                     store.checkpoint_segment(dest_id)
                 store.checkpoint_state()

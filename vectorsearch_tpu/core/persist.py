@@ -556,6 +556,8 @@ class DiskStorage(IndexStorage):
         # never committed, matching an aborted FDB transaction. Handles stay
         # open across appends (one open per mutation would dominate the
         # fsync'd hot write path).
+        import fcntl
+
         blob = pickle.dumps(record, protocol=pickle.HIGHEST_PROTOCOL)
         frame = len(blob).to_bytes(8, "little") + blob
         with self._lock:
@@ -567,8 +569,18 @@ class DiskStorage(IndexStorage):
                 h = [open(path, "ab"), not created]
                 self._wal_handles[path] = h
             f, dir_synced = h
-            f.write(frame)
-            f.flush()
+            # flock for the frame write: concurrent-writer overlay logs (and
+            # any future multi-producer log) take appends from SEVERAL
+            # processes; Python's buffered writer may split a frame across
+            # write(2) calls, so without the lock two processes' frames could
+            # interleave bytes. ~1 us on an already-open fd — noise next to
+            # the pickle+flush it protects.
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            try:
+                f.write(frame)
+                f.flush()
+            finally:
+                fcntl.flock(f.fileno(), fcntl.LOCK_UN)
             if not self.fsync:
                 return
             if self.wal_group_commit_ms > 0:
@@ -700,25 +712,45 @@ class DiskStorage(IndexStorage):
 
 
 class _FileLock:
-    """Reentrant-enough cross-process lock: fcntl.flock on a lock file.
-    One instance per acquisition (DiskStorage.queue_lock returns a fresh
-    one each time), so nesting in a single thread is the caller's concern."""
+    """Cross-process lock (fcntl.flock on a lock file), reentrant PER
+    THREAD: flock conflicts between two fds even within one process, so a
+    nested acquisition of the same path (e.g. concurrent-writer
+    create_or_open -> checkpoint_state, both under "state-merge") would
+    self-deadlock without the thread-local depth count. Distinct threads
+    still serialize on the OS lock, as they must."""
+
+    _tls = threading.local()
 
     def __init__(self, path: str):
         self._path = path
         self._fh = None
+        self._nested = False
 
     def __enter__(self):
         import fcntl
 
+        held = getattr(self._tls, "held", None)
+        if held is None:
+            held = self._tls.held = {}
+        if held.get(self._path, 0) > 0:
+            held[self._path] += 1
+            self._nested = True
+            return self
         os.makedirs(os.path.dirname(self._path), exist_ok=True)
         self._fh = open(self._path, "a+")
         fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+        held[self._path] = 1
         return self
 
     def __exit__(self, *exc):
         import fcntl
 
+        held = self._tls.held
+        if self._nested:
+            held[self._path] -= 1
+            self._nested = False
+            return
+        held[self._path] = 0
         fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
         self._fh.close()
         self._fh = None

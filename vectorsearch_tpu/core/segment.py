@@ -90,6 +90,16 @@ def _sq_norms(v: jax.Array) -> jax.Array:
     return jnp.sum(vf * vf, axis=-1)
 
 
+#: (cap_pad, dim, device) combos whose incremental-sync bucket ladder has
+#: been pre-compiled (see Segment.warm_update_programs).
+_WARMED_UPDATE_SHAPES: set = set()
+
+#: Max rows shipped per incremental append-sync put (~6 MB at d=96). Bounds
+#: the query path's worst single put AND lets the background syncer drain a
+#: large backlog in resumable steps (see sync_device).
+_SYNC_CHUNK = 16384
+
+
 def _bucket_update(n: int, lo: int = 256) -> int:
     """Update-payload sizes are BUCKETED to powers of two: the incremental
     sync otherwise compiles a new XLA program for every distinct appended-row
@@ -421,13 +431,24 @@ class Segment:
                         self._exists_dev = self._put_rows(self.exists_np)
                     self._pending_flag_updates.clear()
                 return
-            if self.next_row > self._dev_rows:
+            while self.next_row > self._dev_rows:
                 start, stop = self._dev_rows, self.next_row
-                # pad the update to a bucketed size so only O(log cap) update
-                # programs ever compile; rows beyond `stop` are host-truth
-                # too (exists False -> invisible) and get re-covered by the
-                # next sync since _dev_rows advances only to `stop`
-                span = min(_bucket_update(stop - start), self.cap_pad - start)
+                # Ship appends in CHUNKS of at most _SYNC_CHUNK rows, padded
+                # to pow2 buckets below that — two properties the r5 churn
+                # attribution showed are both load-bearing:
+                #   (a) bucketing keeps the compiled update-program count at
+                #       O(log chunk) (a fresh program per distinct span was
+                #       ~0.5-1.6 s of remote compile on the serving path);
+                #   (b) the CHUNK CAP keeps each host->device put bounded
+                #       (~6 MB): the previous bucket-of-the-whole-backlog
+                #       put grew with the backlog, so once a fast writer
+                #       outpaced the throttled syncer, query-path inline
+                #       syncs paid multi-second puts and serving collapsed
+                #       (probe_churn_attrib adds_only: 9.2k -> 0.7k QPS).
+                span = min(
+                    _bucket_update(stop - start), _SYNC_CHUNK,
+                    self.cap_pad - start,
+                )
                 # ship LOGICAL-dim rows (the pad columns are zero on device
                 # since the initial upload and are never written after):
                 # each host->device put is a ~25 ms tunnel round-trip, so
@@ -440,17 +461,18 @@ class Segment:
                 # flags beyond `stop` are forced False: those rows may be
                 # mid-append by a concurrent writer (torn reads) — they stay
                 # invisible until the next sync re-covers them
+                covered = min(stop, start + span)
                 ex = self.exists_np[start : start + span].copy()
                 al = self.alive_np[start : start + span].copy()
-                ex[stop - start:] = False
-                al[stop - start:] = False
+                ex[covered - start:] = False
+                al[covered - start:] = False
                 self._exists_dev = _update_range_1d(
                     self._exists_dev, self._put(ex), jnp.int32(start)
                 )
                 self._alive_dev = _update_range_1d(
                     self._alive_dev, self._put(al), jnp.int32(start)
                 )
-                self._dev_rows = stop
+                self._dev_rows = covered
             if self._pending_flag_updates:
                 ids = np.concatenate(
                     [b for b, _, _ in self._pending_flag_updates]
@@ -484,6 +506,14 @@ class Segment:
                 )
                 self._pending_flag_updates.clear()
 
+    def append_backlog(self) -> int:
+        """Advisory (lock-free) count of appended rows not yet on the device
+        mirror — the background syncer's eager-mode signal. 0 when no mirror
+        is resident (the first touch does a full put, not incremental)."""
+        if self._vectors_dev is None:
+            return 0
+        return max(0, self.next_row - self._dev_rows)
+
     def warm_device(self) -> None:
         """Re-materializes every device mirror NOW (call from maintenance
         threads after invalidate_device) so the next query doesn't pay the
@@ -492,6 +522,59 @@ class Segment:
         every vacuum invalidated the bundle."""
         self.sync_device()
         _ = self.codes_dev, self.codebook_dev, self.adjacency_dev
+
+    def warm_update_programs(self) -> None:
+        """Compiles the FULL bucket ladder of incremental-sync programs
+        (row-range update, flag-range update, flag scatter) ahead of the
+        first mutation, off the serving path.
+
+        Why: sync_device buckets its update payloads (O(log cap) shapes),
+        but each bucket still compiles on FIRST use — measured 0.5-1.6 s
+        per program through the axon tunnel (benchmarks/probe_sync_compile).
+        Under a churn-rate writer the spans escalate through the ladder as
+        the backlog grows, so ~10-15 s of compile stalls land under the
+        device lock DURING the serving window — the r5 churn-attribution
+        probe measured the adds-only phase at 0 QPS from exactly this
+        (benchmarks/probe_churn_attrib.py). One warm per (cap_pad, dim)
+        process-wide; outputs are discarded (jax arrays are immutable, so
+        executing an updater against the live mirrors mutates nothing)."""
+        key = (self.cap_pad, self.dim, str(self.device))
+        if key in _WARMED_UPDATE_SHAPES or self.is_stub or self._sharded_now():
+            return
+        _WARMED_UPDATE_SHAPES.add(key)
+        self.sync_device()  # materialize mirrors
+        with self._dev_lock:  # snapshot refs; compile OUTSIDE the lock
+            vd, ad, ed = self._vectors_dev, self._alive_dev, self._exists_dev
+        if vd is None:
+            return
+        try:
+            row_top = min(self.cap_pad, _SYNC_CHUNK)
+            span = 256
+            while True:
+                span = min(span, row_top)
+                rows = jnp.zeros((span, self.dim), jnp.float32)
+                vals = jnp.zeros((span,), np.bool_)
+                if self.device is not None:
+                    rows = jax.device_put(rows, self.device)
+                    vals = jax.device_put(vals, self.device)
+                jax.block_until_ready(_update_rows(vd, rows, jnp.int32(0)))
+                jax.block_until_ready(_update_range_1d(ad, vals, jnp.int32(0)))
+                if span >= row_top:
+                    break
+                span *= 2
+            span = 64
+            while True:
+                span = min(span, self.cap_pad)
+                packed = jnp.zeros((3, span), jnp.int32)
+                if self.device is not None:
+                    packed = jax.device_put(packed, self.device)
+                jax.block_until_ready(_update_flags(ad, ed, packed))
+                if span >= self.cap_pad:
+                    break
+                span *= 2
+        except Exception:  # pragma: no cover - device hiccup; sync compiles inline
+            _WARMED_UPDATE_SHAPES.discard(key)
+            raise
 
     @property
     def vectors_dev(self) -> jax.Array:

@@ -89,6 +89,10 @@ class VectorStore:
         self._flag_dirty: set[int] = set()
         self._flag_cv = threading.Condition()
         self._flag_thread: Optional[threading.Thread] = None
+        # Last time a query touched this store (monotonic; see note_query):
+        # gates the syncer's eager mode — backlog only hurts when someone
+        # is actually serving.
+        self._last_query_monotonic = 0.0
         # Hook the index installs to pre-warm query-program shapes when the
         # searchable segment SET changes (rotation here, foreign changes via
         # refresh): every distinct set shape is a fresh XLA program
@@ -96,6 +100,35 @@ class VectorStore:
         # query after a change eats the compile on its latency path (r4
         # probe_cluster_churn saw 0.8k-QPS windows from exactly this).
         self.on_shapes_changed = None
+        # Concurrent-writer mode (writer_conflict_policy="concurrent"): gids
+        # are drawn from a shared transactional counter in storage, allocated
+        # in blocks; [_gid_next, _gid_block_end) is this process's unused
+        # remainder of the current block.
+        self._gid_block_end = 0
+        # True while maintenance holds the exclusive all-writers slot (set by
+        # MaintenanceService._writer_slot): checkpoint_state then writes the
+        # full local state verbatim (registry removals included) instead of
+        # the concurrent-mode merge, which is add-only.
+        self.maintenance_exclusive = False
+
+    @property
+    def concurrent_writers(self) -> bool:
+        eff = self.config.effective
+        return (
+            eff.writer_conflict_policy == "concurrent"
+            and eff.writer_lease_ttl_ms > 0
+        )
+
+    def owns_segment(self, seg: Segment) -> bool:
+        """True when this process created the segment (meta stamped with our
+        owner_id at creation). Ownership gates which segments we append to,
+        whose lifecycle flips we treat as locally authoritative in refresh(),
+        and whose metas win the concurrent-mode state merge."""
+        return seg.meta.owner == self.owner_id
+
+    def note_query(self) -> None:
+        """Query-path breadcrumb (one monotonic read; called per batch)."""
+        self._last_query_monotonic = time.monotonic()
 
     def notify_flag_sync(self, seg_ids) -> None:
         """Queues background device syncs (appended row ranges AND flag
@@ -124,6 +157,18 @@ class VectorStore:
         # headroom, gained +35%). Sleeping 3x the last drain's duration
         # caps the syncer's tunnel share at ~25%; mutations missed between
         # drains are synced inline by the query path as before.
+        #
+        # EXCEPTION — eager mode (r5 churn attribution): when a fast writer
+        # outpaces the 25% duty cycle, the append backlog grows without
+        # bound and the QUERY path ends up paying the whole drain inline
+        # (probe_churn_attrib adds_only: 9.2k -> 0.7k QPS as the backlog
+        # grew). If a serving client touched the index recently AND the
+        # backlog exceeds one sync chunk, skip the sleep: the syncer must
+        # win the race with the writer or serving loses it. With no recent
+        # queries (pure ingest) the throttle stands — shipping rows that
+        # sealing will restack anyway is pure tunnel waste.
+        from vectorsearch_tpu.core.segment import _SYNC_CHUNK
+
         while not self._lease_stop.is_set():
             with self._flag_cv:
                 while not self._flag_dirty and not self._lease_stop.is_set():
@@ -140,6 +185,20 @@ class VectorStore:
                     LOG.debug("background flag sync failed for %d", sid,
                               exc_info=True)
             took = time.monotonic() - t0
+            serving = time.monotonic() - self._last_query_monotonic < 3.0
+            backlog = max(
+                (
+                    seg.append_backlog()
+                    for sid in dirty
+                    if (seg := self.segments.get(sid)) is not None
+                ),
+                default=0,
+            )
+            if serving and backlog > _SYNC_CHUNK:
+                # re-queue and drain again immediately
+                with self._flag_cv:
+                    self._flag_dirty.update(dirty)
+                continue
             if took > 0 and not self._lease_stop.is_set():
                 self._lease_stop.wait(min(3.0 * took, 1.0))
 
@@ -165,7 +224,9 @@ class VectorStore:
             return  # our lease is fresh; foreigners are excluded by THEIR check
         if self._try_write_lease(now):
             return
-        if eff.writer_conflict_policy == "wait":
+        if eff.writer_conflict_policy in ("wait", "concurrent"):
+            # concurrent writers coexist; the only thing a concurrent-mode
+            # writer ever waits on is a live foreign MAINTENANCE slot
             deadline = time.monotonic() + eff.writer_conflict_wait_timeout_s
             poll_s = min(0.05, max(0.005, ttl / 1000.0 / 20.0))
             while time.monotonic() < deadline:
@@ -173,33 +234,61 @@ class VectorStore:
                 if self._try_write_lease(eff.clock_ms()):
                     return
         raise ConcurrentWriterError(
-            f"index '{self.name}': another process holds a live writer lease "
-            f"(policy={eff.writer_conflict_policy}); route writes to the "
+            f"index '{self.name}': "
+            + (
+                "a live maintenance lease holds the exclusive remap slot"
+                if eff.writer_conflict_policy == "concurrent"
+                else "another process holds a live writer lease"
+            )
+            + f" (policy={eff.writer_conflict_policy}); route writes to the "
             "lease holder or wait for it to close"
         )
 
-    def try_acquire_writer_lease(self) -> bool:
+    def try_acquire_writer_lease(self, maintenance: bool = False) -> bool:
         """Non-raising one-shot acquire (maintenance ops hold the lease for
         their duration so a writer can't start mid-remap). True on success
-        or when leases are disabled."""
+        or when leases are disabled. maintenance=True marks the lease as a
+        gid-remapping slot: in concurrent-writer mode that slot is EXCLUSIVE
+        against every other lease (writers run alongside each other, but
+        never alongside a remap), while writers merely exclude maintenance."""
         eff = self.config.effective
         if eff.writer_lease_ttl_ms <= 0:
             return True
-        return self._try_write_lease(eff.clock_ms())
+        return self._try_write_lease(eff.clock_ms(), maintenance=maintenance)
 
-    def _try_write_lease(self, now: int) -> bool:
-        """One atomic check-and-set under the cross-process queue lock:
-        succeeds iff no OTHER live lease exists. Starts the background
-        keeper on first success (ADVICE r2: an idle-but-open writer must not
-        silently lapse and let foreign maintenance remap gids under it)."""
+    _MAINT_PREFIX = "maint!"
+
+    def _is_own_lease(self, key: str) -> bool:
+        return key == self.owner_id or key == self._MAINT_PREFIX + self.owner_id
+
+    def _try_write_lease(self, now: int, maintenance: bool = False) -> bool:
+        """One atomic check-and-set under the cross-process queue lock.
+        Exclusive mode (policy raise/wait): succeeds iff no OTHER live lease
+        exists. Concurrent mode: writer leases coexist (the check only
+        refuses while a live foreign MAINTENANCE lease holds the exclusive
+        remap slot); a maintenance lease still requires being alone. Starts
+        the background keeper on first success (ADVICE r2: an idle-but-open
+        writer must not silently lapse and let foreign maintenance remap
+        gids under it)."""
         ttl = self.config.effective.writer_lease_ttl_ms
+        concurrent = self.concurrent_writers
+        key = (self._MAINT_PREFIX + self.owner_id) if (
+            concurrent and maintenance) else self.owner_id
         with self._lease_mu:
             with self.storage.queue_lock(self.name, self._LEASE_KEY):
                 leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
                 leases = {o: e for o, e in leases.items() if e > now}  # GC
-                if any(o != self.owner_id for o in leases):
+                foreign = [o for o in leases if not self._is_own_lease(o)]
+                if concurrent and not maintenance:
+                    blocked = any(
+                        o.startswith(self._MAINT_PREFIX) for o in foreign
+                    )
+                else:
+                    # exclusive-mode writer OR any maintenance slot: alone
+                    blocked = bool(foreign)
+                if blocked:
                     return False
-                leases[self.owner_id] = now + ttl
+                leases[key] = now + ttl
                 self.storage.write_queue(self.name, self._LEASE_KEY, leases)
             self._lease_written_ms = now
         self._start_lease_keeper()
@@ -223,7 +312,8 @@ class VectorStore:
                                 self.storage.read_queue(self.name, self._LEASE_KEY)
                                 or {}
                             )
-                            if self.owner_id not in leases:
+                            ours = [o for o in leases if self._is_own_lease(o)]
+                            if not ours:
                                 # our record vanished (expired + GC'd, or an
                                 # operator cleared it): we LOST the lease —
                                 # renew-only, never resurrect; the next
@@ -232,7 +322,8 @@ class VectorStore:
                                 self._lease_written_ms = 0
                                 continue
                             leases = {o: e for o, e in leases.items() if e > now}
-                            leases[self.owner_id] = now + ttl
+                            for o in ours:  # renew writer AND maint slots
+                                leases[o] = now + ttl
                             self.storage.write_queue(
                                 self.name, self._LEASE_KEY, leases
                             )
@@ -244,15 +335,26 @@ class VectorStore:
         self._lease_keeper = t
         t.start()
 
-    def release_writer_lease(self) -> None:
+    def release_writer_lease(self, maintenance_only: bool = False) -> None:
+        """Releases this process's lease(s). maintenance_only drops just the
+        exclusive remap slot (concurrent mode: the writer lease stays live
+        across the writer's own vacuum/compaction runs)."""
         with self._lease_mu:
             if self._lease_written_ms == 0:
                 return
             with self.storage.queue_lock(self.name, self._LEASE_KEY):
                 leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
-                if leases.pop(self.owner_id, None) is not None:
+                victims = [self._MAINT_PREFIX + self.owner_id]
+                if not maintenance_only:
+                    victims.append(self.owner_id)
+                hit = False
+                for v in victims:
+                    hit |= leases.pop(v, None) is not None
+                if hit:
                     self.storage.write_queue(self.name, self._LEASE_KEY, leases)
-            self._lease_written_ms = 0
+                still_held = self.owner_id in leases
+            if not still_held:
+                self._lease_written_ms = 0
 
     def holds_live_lease(self) -> bool:
         eff = self.config.effective
@@ -267,7 +369,10 @@ class VectorStore:
             return []
         now = self.config.effective.clock_ms()
         leases = self.storage.read_queue(self.name, self._LEASE_KEY) or {}
-        return [o for o, e in leases.items() if o != self.owner_id and e > now]
+        return [
+            o for o, e in leases.items()
+            if not self._is_own_lease(o) and e > now
+        ]
 
     def close(self) -> None:
         """Stops the lease keeper + flag syncer, releases the writer lease."""
@@ -286,7 +391,16 @@ class VectorStore:
 
     def create_or_open(self) -> None:
         """Create-or-open with IndexMeta validation
-        (reference: fdb/FdbVectorStore.java:71-166)."""
+        (reference: fdb/FdbVectorStore.java:71-166). Concurrent-writer mode
+        serializes creation under the cross-process state lock: two racing
+        creators must not both seed segment 0 (vid spaces would collide)."""
+        if self.concurrent_writers:
+            with self.storage.queue_lock(self.name, "state-merge"):
+                self._create_or_open_inner()
+            return
+        self._create_or_open_inner()
+
+    def _create_or_open_inner(self) -> None:
         meta_json = self.storage.read_meta(self.name)
         if meta_json is not None:
             existing = IndexMeta.from_json(meta_json)
@@ -331,6 +445,7 @@ class VectorStore:
             segment_id=seg_id,
             state=state,
             created_at_ms=self.config.effective.clock_ms(),
+            owner=self.owner_id,
         )
         return Segment(
             meta, capacity or self.config.max_segment_size, self.config.dimension,
@@ -387,8 +502,17 @@ class VectorStore:
                 self.segments[sid] = seg
             # Per-mutation durability: replay each segment's WAL over its
             # checkpoint (adds + tombstones since the last full write).
-            for sid in self.storage.wal_segments(self.name):
-                seg = self.segments.get(sid)
+            # Overlay delete logs (concurrent-writer cross-deletes, id =
+            # seg_id + _OVERLAY_BASE) replay AFTER every base log: their
+            # tombstones may target rows that only exist via base-WAL adds.
+            wal_ids = self.storage.wal_segments(self.name)
+            overlay_ids = []
+            for sid in wal_ids:
+                base_sid = (
+                    sid - self._OVERLAY_BASE
+                    if sid >= self._OVERLAY_BASE else sid
+                )
+                seg = self.segments.get(base_sid)
                 if seg is None:
                     # unknown: debris — but shard readers leave foreign
                     # processes' WALs alone
@@ -397,6 +521,9 @@ class VectorStore:
                     continue
                 if seg.is_stub:
                     continue  # foreign shard: rows not materialized here
+                if sid >= self._OVERLAY_BASE:
+                    overlay_ids.append(sid)
+                    continue
                 records = self.storage.wal_read(self.name, sid)
                 seg.replay_wal(records)
                 self._wal_applied[sid] = len(records)
@@ -415,6 +542,14 @@ class VectorStore:
                         self.next_gid = max(
                             self.next_gid, int(np.max(rec["gids"])) + 1
                         )
+            for oid in overlay_ids:
+                seg = self.segments.get(oid - self._OVERLAY_BASE)
+                records = self.storage.wal_read(self.name, oid)
+                seg.replay_wal(records)
+                self._wal_applied[oid] = len(records)
+                self._wal_last_txid[oid] = (
+                    records[-1].get("txid") if records else None
+                )
             # Rebuild derived state from segment truth: the gid map, counts,
             # and the gid counter (reconciles meta.count with arrays — counts
             # in persisted metas may predate WAL-only mutations).
@@ -436,10 +571,23 @@ class VectorStore:
             # Crash recovery: interrupted builds resume from the queue — the
             # reference's queue lives in FDB; ours is in-process, so re-enqueue
             # builds for any PENDING/WRITING segment found on open.
+            live_peers = (
+                set(self.live_foreign_writers())
+                if self.concurrent_writers else set()
+            )
             for sid, seg in self.segments.items():
                 if seg.is_stub:
                     continue  # foreign shard: its owner re-enqueues builds
                 if seg.state in (SegmentState.PENDING, SegmentState.WRITING):
+                    if seg.meta.owner in live_peers:
+                        continue  # a LIVE peer owns this build; duplicating
+                        # it here would only waste device time (its seal
+                        # arrives via refresh)
+                    if self.concurrent_writers and not self.owns_segment(seg):
+                        # dead peer's unfinished build: take the segment over
+                        # (its rows are all in the checkpoint+WAL we just
+                        # replayed) so our seal can checkpoint it
+                        seg.meta.owner = self.owner_id
                     self.enqueue_build_task(sid)
 
     # ------------------------------------------------------------ durability
@@ -447,7 +595,15 @@ class VectorStore:
     def checkpoint_state(self) -> None:
         """Persists control-plane state (call with lock held or externally
         consistent). The gid map is NOT persisted here — it is rebuilt on load
-        from segment gids arrays (+WAL replay), the single source of truth."""
+        from segment gids arrays (+WAL replay), the single source of truth.
+
+        Concurrent-writer mode MERGES instead of overwriting: N writers each
+        checkpoint their own rotations/flips, so a blind write would clobber
+        a peer's registry entries. The merge is add-only — persisted entries
+        survive, our additions land, and OUR OWNED segments' metas win (a
+        peer never legitimately flips them; gid-remapping maintenance, which
+        does remove registry entries, runs under the exclusive slot and
+        writes the full local state verbatim via maintenance_exclusive)."""
         state = {
             "current_segment": self.current_segment,
             "max_segment_id": self.max_segment_id,
@@ -457,7 +613,33 @@ class VectorStore:
                 sid: seg.meta.to_json() for sid, seg in self.segments.items()
             },
         }
-        self.storage.write_state(self.name, state)
+        if not self.concurrent_writers or self.maintenance_exclusive:
+            self.storage.write_state(self.name, state)
+            return
+        with self.storage.queue_lock(self.name, "state-merge"):
+            persisted = self.storage.read_state(self.name)
+            if persisted is not None:
+                p_metas = {
+                    int(s): m
+                    for s, m in persisted.get("segment_metas", {}).items()
+                }
+                merged_metas = dict(p_metas)
+                for sid, seg in self.segments.items():
+                    if self.owns_segment(seg) or sid not in p_metas:
+                        merged_metas[sid] = seg.meta.to_json()
+                p_reg = [int(s) for s in persisted.get("registry", [])]
+                state["registry"] = p_reg + [
+                    s for s in self.registry if s not in p_reg
+                ]
+                state["segment_metas"] = merged_metas
+                state["max_segment_id"] = max(
+                    self.max_segment_id,
+                    int(persisted.get("max_segment_id", 0)),
+                )
+                state["next_gid"] = max(
+                    self.next_gid, int(persisted.get("next_gid", 0))
+                )
+            self.storage.write_state(self.name, state)
 
     def _wal_append_locked(self, seg_id: int, record: dict) -> None:
         """Appends a WAL record stamped with a process-unique txid (so other
@@ -478,6 +660,16 @@ class VectorStore:
             seg = self.segments.get(seg_id)
             if seg is None or seg.is_stub:
                 return  # a stub's zeros must never overwrite the owner's data
+            if (
+                self.concurrent_writers
+                and not self.maintenance_exclusive
+                and not self.owns_segment(seg)
+            ):
+                # concurrent mode: a peer's segment — our replicated copy may
+                # lag the owner's, and a checkpoint here would reset the
+                # owner's WAL under it. The owner (or exclusive maintenance)
+                # checkpoints it.
+                return
             self.storage.write_segment(
                 self.name, seg_id, seg.to_arrays(), seg.payloads_for_checkpoint()
             )
@@ -609,6 +801,12 @@ class VectorStore:
             self._lease_written_ms == 0
             and self.config.effective.writer_lease_ttl_ms > 0
         )
+        # Concurrent-writer mode: a WRITER process also adopts foreign
+        # registry removals and lifecycle flips — but only for segments it
+        # does not own (its own segments' state is locally authoritative,
+        # and gid-remapping maintenance runs under the exclusive slot, so a
+        # removal in persisted state is always a committed remap).
+        concurrent = self.concurrent_writers
         with self.lock:
             metas = {
                 int(s): SegmentMeta.from_json(m)
@@ -624,9 +822,15 @@ class VectorStore:
             # dropped sources into its dest, so the sources' stale map
             # entries must go before the dest's gids are indexed below
             persisted_registry = [int(s) for s in state.get("registry", [])]
-            if passive:
+            if passive or concurrent:
                 persisted_set = set(persisted_registry)
                 for sid in [s for s in self.registry if s not in persisted_set]:
+                    if concurrent and not passive:
+                        seg0 = self.segments.get(sid)
+                        if sid == self.current_segment or (
+                            seg0 is not None and self.owns_segment(seg0)
+                        ):
+                            continue  # our own segments: locally authoritative
                     seg = self.segments.pop(sid, None)
                     self.registry.remove(sid)
                     if seg is not None:
@@ -634,6 +838,8 @@ class VectorStore:
                         changed.add(sid)
                     self._wal_applied.pop(sid, None)
                     self._wal_last_txid.pop(sid, None)
+                    self._wal_applied.pop(sid + self._OVERLAY_BASE, None)
+                    self._wal_last_txid.pop(sid + self._OVERLAY_BASE, None)
 
             # --- segments created by another process (rotation / compaction)
             for sid in persisted_registry:
@@ -683,17 +889,27 @@ class VectorStore:
                     )
                     self._wal_applied[sid] = 0  # replay post-seal dels below
                     self._wal_last_txid[sid] = None
+                    # overlay tombstones we already applied locally are NOT
+                    # in the owner's checkpoint — re-replay them too
+                    self._wal_applied.pop(sid + self._OVERLAY_BASE, None)
+                    self._wal_last_txid.pop(sid + self._OVERLAY_BASE, None)
                     changed.add(sid)
                     LOG.debug("refreshed segment %d from storage (SEALED)", sid)
-                elif passive and meta.state != local.state:
+                elif (
+                    passive or (concurrent and not self.owns_segment(local))
+                ) and meta.state != local.state:
                     # pure lifecycle flips made by the writer (ACTIVE→PENDING
                     # at rotation, SEALED→COMPACTING at candidate marking):
                     # row data is unchanged, adopt the state in place
                     local.meta.state = meta.state
                     changed.add(sid)
 
-            # --- WAL delta sync: mutations appended since our last look
-            for sid in self.storage.wal_segments(self.name):
+            # --- WAL delta sync: mutations appended since our last look.
+            # Base logs first, overlay delete logs after (an overlay replay
+            # over a just-reloaded checkpoint must see the reload, which the
+            # base pass performs).
+            wal_ids = self.storage.wal_segments(self.name)
+            for sid in (i for i in wal_ids if i < self._OVERLAY_BASE):
                 seg = self.segments.get(sid)
                 if seg is None or seg.is_stub:
                     continue  # not in our shard/view; leave the WAL alone
@@ -714,6 +930,8 @@ class VectorStore:
                     seg = self._load_segment_locked(sid, metas.get(sid, seg.meta))
                     self._index_segment_gids_locked(seg)
                     applied = 0
+                    self._wal_applied.pop(sid + self._OVERLAY_BASE, None)
+                    self._wal_last_txid.pop(sid + self._OVERLAY_BASE, None)
                     changed.add(sid)
                 if len(recs) > applied:
                     self._apply_wal_delta_locked(seg, recs[applied:])
@@ -722,9 +940,151 @@ class VectorStore:
                 self._wal_last_txid[sid] = (
                     recs[-1].get("txid") if recs else None
                 )
+            for oid in (i for i in wal_ids if i >= self._OVERLAY_BASE):
+                sid = oid - self._OVERLAY_BASE
+                seg = self.segments.get(sid)
+                if seg is None or seg.is_stub:
+                    continue
+                recs = self.storage.wal_read(self.name, oid)
+                applied = self._wal_applied.get(oid, 0)
+                stale = len(recs) < applied or (
+                    0 < applied <= len(recs)
+                    and recs[applied - 1].get("txid")
+                    != self._wal_last_txid.get(oid)
+                )
+                if stale:
+                    # overlay logs are multi-producer: OUR append may have
+                    # interleaved with a peer's, so the positional check can
+                    # trip without any reset. Records are pure idempotent
+                    # tombstones — re-replaying the whole log is always
+                    # sound and needs no checkpoint reload.
+                    applied = 0
+                if len(recs) > applied:
+                    self._apply_wal_delta_locked(seg, recs[applied:])
+                    changed.add(sid)
+                self._wal_applied[oid] = len(recs)
+                self._wal_last_txid[oid] = (
+                    recs[-1].get("txid") if recs else None
+                )
         if changed and self.on_shapes_changed is not None:
             self.on_shapes_changed()
         return sorted(changed)
+
+    # --------------------------------------------------- concurrent writers
+    #
+    # writer_conflict_policy="concurrent" is the rebuild's equivalent of the
+    # reference's FDB-transactional N-writer ingest
+    # (fdb/FdbVectorStore.java:425-492,575-601). The design replaces
+    # serializable transactions with partitioned ownership:
+    #   - every writer appends ONLY to ACTIVE segments it created (metas are
+    #     stamped with owner_id), so row appends never conflict;
+    #   - gids / segment ids come from shared transactional counters in
+    #     storage (block-allocated under the cross-process queue lock — the
+    #     analogue of the reference's transactional nextGid counter);
+    #   - control-state checkpoints MERGE under a cross-process lock
+    #     (add-only: foreign registry entries and metas are preserved,
+    #     our own segments' metas win);
+    #   - deletes of rows in foreign segments append to a per-segment
+    #     OVERLAY delete log (separate from the owner's WAL, multi-producer
+    #     safe) that every process replays idempotently on refresh();
+    #   - gid-remapping maintenance (vacuum/compaction) takes an EXCLUSIVE
+    #     slot and defers while any other writer is live — remaps are
+    #     epoch-deferred rather than transactional.
+
+    _GID_ALLOC_KEY = "gid-alloc"
+    _SEG_ALLOC_KEY = "seg-alloc"
+    #: Overlay delete logs live in the same WAL namespace at seg_id +
+    #: _OVERLAY_BASE. Records are pure idempotent tombstones, so a positional
+    #: txid mismatch (concurrent appenders) is healed by re-replaying the
+    #: whole overlay — no checkpoint reload needed (cf. refresh()).
+    _OVERLAY_BASE = 1 << 40
+
+    def _alloc_gids_locked(self, n: int) -> np.ndarray:
+        """Returns n fresh gids. Single-writer: the local monotonic counter.
+        Concurrent: drawn from this process's block of the shared counter,
+        refilled transactionally (block allocation amortizes the
+        cross-process lock to ~1 storage round-trip per 16k gids; unused
+        remainders on close become gaps, which is fine — gids are opaque
+        and only ever required to be unique and non-recycled)."""
+        if not self.concurrent_writers:
+            start = self.next_gid
+            self.next_gid += n
+            return np.arange(start, start + n, dtype=np.int64)
+        out = np.empty(n, np.int64)
+        filled = 0
+        while filled < n:
+            if self.next_gid >= self._gid_block_end:
+                want = max(n - filled, 16384)
+                with self.storage.queue_lock(self.name, self._GID_ALLOC_KEY):
+                    rec = self.storage.read_queue(
+                        self.name, self._GID_ALLOC_KEY) or {}
+                    # fold the local high-water in: pre-concurrent history
+                    # (or a wiped counter record) must never recycle gids
+                    start = max(int(rec.get("next", 0)), self.next_gid)
+                    self.storage.write_queue(
+                        self.name, self._GID_ALLOC_KEY,
+                        {"next": start + want})
+                self.next_gid = start
+                self._gid_block_end = start + want
+            take = min(n - filled, self._gid_block_end - self.next_gid)
+            out[filled:filled + take] = np.arange(
+                self.next_gid, self.next_gid + take, dtype=np.int64)
+            self.next_gid += take
+            filled += take
+        return out
+
+    def _alloc_segment_id_locked(self) -> int:
+        """Fresh segment id: local max+1 single-writer; shared counter in
+        concurrent mode (rotations are rare — one per max_segment_size rows
+        — so no block amortization is needed)."""
+        if not self.concurrent_writers:
+            new_id = self.max_segment_id + 1
+            self.max_segment_id = new_id
+            return new_id
+        with self.storage.queue_lock(self.name, self._SEG_ALLOC_KEY):
+            rec = self.storage.read_queue(self.name, self._SEG_ALLOC_KEY) or {}
+            new_id = max(int(rec.get("next", 0)), self.max_segment_id + 1)
+            self.storage.write_queue(
+                self.name, self._SEG_ALLOC_KEY, {"next": new_id + 1})
+        self.max_segment_id = max(self.max_segment_id, new_id)
+        return new_id
+
+    def _ensure_own_active_locked(self) -> None:
+        """Concurrent mode, on write entry: make current_segment one of OURS.
+        A foreign or orphaned ACTIVE under current_segment is left alone if
+        its owner's lease is live (the owner is filling it); if the owner is
+        dead (or pre-concurrent None) and it holds rows, flip it PENDING so
+        its rows get built+sealed — then create our own ACTIVE."""
+        seg = self.segments.get(self.current_segment)
+        if seg is not None and seg.state == SegmentState.ACTIVE \
+                and self.owns_segment(seg):
+            return
+        if (
+            seg is not None
+            and seg.state == SegmentState.ACTIVE
+            and not seg.is_stub
+            and (seg.meta.owner is None
+                 or seg.meta.owner not in self.live_foreign_writers())
+        ):
+            # orphaned ACTIVE: its creator is gone; adopt-by-rotation so the
+            # rows reach SEALED (builds only seal PENDING/WRITING). Claim
+            # ownership — the state merge persists OUR metas, and the build
+            # is now ours to run. A double-claim race is benign: the merge
+            # lock serializes the writes and duplicate builds are idempotent.
+            seg.meta.state = SegmentState.PENDING
+            seg.meta.owner = self.owner_id
+            self.enqueue_build_task(seg.seg_id)
+        new_id = self._alloc_segment_id_locked()
+        fresh = self._new_segment(new_id, SegmentState.ACTIVE)
+        self.segments[new_id] = fresh
+        if new_id not in self.registry:
+            self.registry.append(new_id)
+        self.current_segment = new_id
+        if self.on_shapes_changed is not None:
+            self.on_shapes_changed()
+        self.checkpoint_state()
+        LOG.info("concurrent writer %s opened ACTIVE segment %d",
+                 self.owner_id[:8], new_id)
 
     # ---------------------------------------------------------------- ingest
 
@@ -750,6 +1110,8 @@ class VectorStore:
         self.heartbeat_writer_lease()
         touched: set = set()
         with self.lock:
+            if self.concurrent_writers:
+                self._ensure_own_active_locked()
             while offset < n:
                 seg = self.segments[self.current_segment]
                 if seg.state != SegmentState.ACTIVE:
@@ -764,8 +1126,7 @@ class VectorStore:
                 chunk = embeddings[offset : offset + take]
                 chunk_payloads = plist[offset : offset + take]
                 vec_ids = seg.append_rows(chunk, chunk_payloads)
-                new_gids = np.arange(self.next_gid, self.next_gid + take, dtype=np.int64)
-                self.next_gid += take
+                new_gids = self._alloc_gids_locked(take)
                 vid_arr = np.asarray(vec_ids, np.int64)
                 self.gid_map.put_batch(
                     new_gids, (np.int64(seg.seg_id) << 32) | vid_arr
@@ -801,8 +1162,7 @@ class VectorStore:
         all under the lock (the reference does this in one FDB txn :512-539)."""
         old = self.segments[self.current_segment]
         old.meta.state = SegmentState.PENDING
-        new_id = self.max_segment_id + 1
-        self.max_segment_id = new_id
+        new_id = self._alloc_segment_id_locked()
         self.current_segment = new_id
         seg = self._new_segment(new_id, SegmentState.ACTIVE)
         self.segments[new_id] = seg
@@ -837,6 +1197,18 @@ class VectorStore:
         )
         if gids_arr.size == 0:
             return affected
+        if self.concurrent_writers:
+            # rows added by a PEER writer enter this process's view via
+            # refresh(); resolve misses get one refresh retry so deletes of
+            # freshly replicated gids succeed (the reference reads any gid
+            # transactionally, fdb/FdbVectorStore.java:276-423)
+            with self.lock:
+                if np.any(self.gid_map.get_batch(gids_arr) < 0):
+                    pass_refresh = True
+                else:
+                    pass_refresh = False
+            if pass_refresh:
+                self.refresh()
         with self.lock:
             # vectorized resolve + tombstone: the per-gid Python loop was
             # measurable writer GIL time under deep10m churn (r4)
@@ -856,9 +1228,18 @@ class VectorStore:
                         g_ok[m][np.isin(vids[m], flipped)]
                     )
                     # per-mutation durability (reference: deleteBatch is an
-                    # FDB txn, fdb/FdbVectorStore.java:276-423)
+                    # FDB txn, fdb/FdbVectorStore.java:276-423). Concurrent
+                    # mode routes deletes of rows in PEER-owned segments to
+                    # the segment's OVERLAY delete log: the owner's WAL is
+                    # single-producer (its positional replay tracking breaks
+                    # under interleaved appends), while the overlay is
+                    # multi-producer by construction (pure idempotent
+                    # tombstones; see the "concurrent writers" section).
+                    wal_id = int(sid)
+                    if self.concurrent_writers and not self.owns_segment(seg):
+                        wal_id = int(sid) + self._OVERLAY_BASE
                     self._wal_append_locked(
-                        int(sid), {"op": "del", "vids": flipped}
+                        wal_id, {"op": "del", "vids": flipped}
                     )
                 affected.append(int(sid))
         self.notify_flag_sync(affected)

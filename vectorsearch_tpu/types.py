@@ -19,7 +19,9 @@ class ConcurrentWriterError(RuntimeError):
     concurrent writers safe via FDB serializable transactions and a
     transactional nextGid counter, fdb/FdbVectorStore.java:575-601). Route
     writes to the lease holder (e.g. cluster write forwarding), wait for the
-    lease to lapse, or configure writer_conflict_policy="wait"."""
+    lease to lapse, configure writer_conflict_policy="wait", or opt into true
+    N-process ingest with writer_conflict_policy="concurrent" (per-writer
+    ACTIVE segments + shared gid/segment-id counters, core/store.py)."""
 
 
 class SegmentState(enum.Enum):
@@ -51,6 +53,12 @@ class SegmentMeta:
     count is the number of live (non-tombstoned) vectors; deleted_count the number
     of tombstones still occupying rows. created_at_ms / last_vacuum_at_ms drive the
     compaction planner's age bias and the vacuum cooldown respectively.
+
+    owner stamps the creating process (store.owner_id) so concurrent-writer
+    deployments (writer_conflict_policy="concurrent") can tell whose ACTIVE
+    segment is whose: a writer only ever appends to segments it owns, and an
+    orphaned ACTIVE (owner's lease dead) is rotated to PENDING by whoever
+    notices. Absent in pre-r5 checkpoints -> None (single-writer semantics).
     """
 
     segment_id: int
@@ -59,6 +67,7 @@ class SegmentMeta:
     deleted_count: int = 0
     created_at_ms: int = 0
     last_vacuum_at_ms: int = 0
+    owner: Optional[str] = None
 
     def copy(self) -> "SegmentMeta":
         return dataclasses.replace(self)
