@@ -429,3 +429,62 @@ def test_vacuum_keeps_device_mirrors_resident(storage, rng):
     assert gids[5] not in [r.gid for r in res]
     assert idx.query(x[30], 1)[0].gid == gids[30]
     idx.close()
+
+
+def test_vacuum_wal_record_replays_without_checkpoint(tmp_path, rng):
+    """r5: vacuum journals a tiny "vac" WAL record instead of a full-segment
+    checkpoint (a 1M-row checkpoint under the store lock measured 3.8 s of
+    dead serving per vacuum, benchmarks/probe_vacuum_stall.py). The removal
+    must survive a checkpoint-less reopen purely via WAL replay."""
+    from tests.test_index_e2e import gaussian, make_index, run_builds
+    from vectorsearch_tpu.core.persist import DiskStorage
+
+    storage = DiskStorage(str(tmp_path / "vwal"), fsync=False)
+    idx = make_index(storage, max_segment_size=100,
+                     vacuum_min_deleted_ratio=0.05)
+    x = gaussian(rng, 150)
+    gids = idx.add_all(x)
+    run_builds(idx)
+    idx.delete_all(gids[:30])
+    assert idx.maintenance.vacuum_segment(0) == 30
+    seg0 = idx.store.segments[0]
+    assert not seg0.exists_np[:30].any()  # physically removed
+    # NO idx.checkpoint() — simulate a crash right after the vacuum: the
+    # "vac" record (and the delete records before it) are all that persist
+    idx.store.close()  # release the lease without checkpointing
+
+    idx2 = make_index(storage, max_segment_size=100,
+                      vacuum_min_deleted_ratio=0.05)
+    s0 = idx2.store.segments[0]
+    assert not s0.exists_np[:30].any()  # vac replayed over the checkpoint
+    assert s0.meta.count == 70
+    assert s0.meta.deleted_count == 0
+    res = idx2.query(x[40], 5)
+    assert res[0].gid == gids[40]
+    assert not any(r.gid in set(gids[:30]) for r in res)
+    idx2.close()
+
+
+def test_vacuum_propagates_to_reader_via_wal_delta(storage, rng):
+    """A passive reader picks a peer's vacuum up through the WAL delta pass
+    (no segment reload: the "vac" record applies incrementally)."""
+    from tests.test_index_e2e import gaussian, make_index, run_builds
+
+    w = make_index(storage, max_segment_size=100,
+                   vacuum_min_deleted_ratio=0.05)
+    x = gaussian(rng, 120)
+    gids = w.add_all(x)
+    run_builds(w)
+    reader = make_index(storage, max_segment_size=100,
+                        vacuum_min_deleted_ratio=0.05)
+    reader.refresh()
+    w.delete_all(gids[:15])
+    w.store.release_writer_lease()  # let the reader-side view vacuum-free
+    assert w.maintenance.vacuum_segment(0) == 15
+    reader.refresh()
+    r0 = reader.store.segments[0]
+    assert not r0.exists_np[:15].any()
+    res = reader.query(x[20], 5)
+    assert res[0].gid == gids[20]
+    reader.close()
+    w.close()

@@ -705,25 +705,18 @@ class VectorIndex:
                 )
                 self._maint_pool.start(eff.local_maintenance_worker_threads)
 
-        # Pre-compile the incremental-sync bucket ladder for the ACTIVE
-        # segment's shape in the background: each bucket otherwise compiles
-        # on FIRST use (0.5-1.6 s each through the axon tunnel), and under a
-        # churn-rate writer the escalating spans put ~10-15 s of compile
-        # stalls under the device lock mid-serving (the r5 churn-attribution
-        # probe measured an adds-only phase at 0 QPS from this;
-        # benchmarks/probe_churn_attrib.py / probe_sync_compile.py).
-        def _warm_sync_ladder():
-            try:
-                seg = self.store.segments.get(self.store.current_segment)
-                if seg is not None:
-                    seg.warm_update_programs()
-            except Exception:
-                LOG.debug("sync-ladder warm failed", exc_info=True)
-
-        try:
-            self._executor().submit(_warm_sync_ladder)
-        except Exception:
-            LOG.debug("sync-ladder warm scheduling failed", exc_info=True)
+        # Deferred trigger: pre-compile the incremental-sync bucket ladder
+        # in the background at FIRST QUERY (see _maybe_warm_sync_ladder) —
+        # each bucket otherwise compiles on first use (0.5-1.6 s each
+        # through the axon tunnel), and under a churn-rate writer the
+        # escalating spans put ~10-15 s of compile stalls under the device
+        # lock mid-serving (the r5 churn-attribution probe measured an
+        # adds-only phase at 0 QPS from this; benchmarks/
+        # probe_churn_attrib.py / probe_sync_compile.py). Warming at OPEN
+        # instead measurably slowed bulk ingest (55 s -> 122-149 s at 10M:
+        # the remote compiles contend with ingest's own tunnel traffic),
+        # and a never-queried index never needs these programs.
+        self._sync_ladder_warmed = False
 
     # ------------------------------------------------------------- lifecycle
 
@@ -994,6 +987,9 @@ class VectorIndex:
     ):
         t0 = time.monotonic()
         self.store.note_query()  # gates the background syncer's eager mode
+        if not self._sync_ladder_warmed:
+            self._sync_ladder_warmed = True
+            self._maybe_warm_sync_ladder()
         if isinstance(qs, jax.Array):
             # device-resident fast path: a jax Array skips the numpy round
             # trip (np.asarray on a device array FETCHES it host-side — a
@@ -1490,6 +1486,23 @@ class VectorIndex:
                 np.full((nq, k), np.inf, np.float32),
             )
         return results
+
+    def _maybe_warm_sync_ladder(self) -> None:
+        """Background-compiles the incremental-sync program ladder for the
+        ACTIVE segment's shape, once, on first query (rationale at the
+        _sync_ladder_warmed init site)."""
+        def run():
+            try:
+                seg = self.store.segments.get(self.store.current_segment)
+                if seg is not None:
+                    seg.warm_update_programs()
+            except Exception:
+                LOG.debug("sync-ladder warm failed", exc_info=True)
+
+        try:
+            self._executor().submit(run)
+        except Exception:
+            self._sync_ladder_warmed = False
 
     def _schedule_shape_warm(self) -> None:
         """Schedules one background dummy query at the last-seen query

@@ -154,7 +154,20 @@ class MaintenanceService:
                 # per 1M-row segment through the axon tunnel and collapsed
                 # Deep10M churn serving to 32 QPS; the host arrays stay the
                 # source of truth for checkpoints and compaction either way.
-                self.store.checkpoint_segment(seg_id)
+                #
+                # NO full-segment checkpoint either (r5): write_segment on a
+                # 1M-row segment is ~3.8 s of array copies UNDER THE STORE
+                # LOCK — serving measured 0 QPS for the duration
+                # (benchmarks/probe_vacuum_stall.py), which made every
+                # vacuum window of the deep10m churn bench a dead window.
+                # A tiny idempotent "vac" WAL record gives the same
+                # durability (replayed over the last checkpoint on reopen,
+                # and by reader processes on refresh); full checkpoints
+                # still happen at seal, compaction, and close.
+                if len(doomed):
+                    self.store._wal_append_locked(
+                        seg_id, {"op": "vac", "vids": doomed.astype(np.int64)}
+                    )
                 self.store.checkpoint_state()
                 under_half = seg.meta.count < cfg.max_segment_size / 2
             self.store.notify_flag_sync([seg_id])  # off the query path

@@ -315,6 +315,11 @@ class Segment:
                 vids = np.asarray(rec["vids"], np.int64)
                 self.alive_np[vids] = False
                 self.gids_np[vids] = -1
+            elif rec["op"] == "vac":
+                # vacuum's physical removal, WAL-journaled instead of a full
+                # segment checkpoint (a 1M-row checkpoint under the store
+                # lock was a measured 3.8 s serving stall per vacuum)
+                self.remove_rows(np.asarray(rec["vids"], np.int64))
         if records:
             self.version += 1
             self.flags_version += 1

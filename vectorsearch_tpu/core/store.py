@@ -765,6 +765,12 @@ class VectorStore:
                 if len(flipped):
                     sel = gid_before[np.isin(vids, flipped)]
                     self.gid_map.remove_batch(sel[sel >= 0])
+            elif rec["op"] == "vac":
+                # a peer's vacuum: physical removal of already-tombstoned
+                # rows (their gid-map entries went with the "del" records);
+                # remove_rows also queues the exists flips for OUR device
+                # mirror
+                seg.remove_rows(np.asarray(rec["vids"], np.int64))
         if added:
             seg.version += 1  # tombstone_batch bumps per batch; adds here
         seg.reconcile_counts()
