@@ -133,6 +133,9 @@ def measure_qps(idx, queries, k, batch, seconds=4.0, params=None, in_flight=8,
 
     call = idx.query_batch_arrays if arrays else idx.query_batch
     call(queries[:batch], k, params)  # compile warmup
+    # the first query schedules the background sync-ladder warm (~15-25 s
+    # of remote compiles); let it finish before the measured windows
+    idx.wait_sync_ladder()
     stop = [False]
     counts = [0] * in_flight
 
@@ -316,6 +319,8 @@ def bench_glove():
     ).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     idx.query_batch(q, k, params)  # warm sealed-only shape
+    idx.wait_sync_ladder()  # ~15-25 s of background compiles must not land
+    #                         inside the measured windows
 
     stop = [False]
 
@@ -418,6 +423,7 @@ def bench_deep10m():
     t_warm = time.time()
     idx.query_batch(q, k, params)
     idx.query_batch(q, k, params)
+    idx.wait_sync_ladder()
     warm_s = time.time() - t_warm
 
     stop = [False]

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 import threading
 import time
 from typing import Optional, Sequence
@@ -178,12 +179,17 @@ def _sealed_exact_pool_scored(q, vectors, valid, xn2=None, *, ef_buf, metric):
     if pallas_exact.use_fused_exact_pool(
         vectors.shape[0], vectors.shape[1], ef_buf
     ):
-        # stage2_agg=False: the serving path's finalize is algebraic, so the
-        # unaggregated stage-2 output is strictly better — faster AND exact
-        # (see _exact_pool_scored_impl's stage2_agg note)
+        # stage2_agg=True (r5 REVERT of the "unaggregated stage 2" change):
+        # skipping approx_max_k's aggregation measured faster AND exact at
+        # the chained-KERNEL level (3.01 vs 3.34 ms), but the ~100x wider
+        # pool it hands downstream made real SERVING 1.8x slower — same
+        # session, back-to-back: sift1m 40.8k [37.9, 42.4] aggregated vs
+        # 22.8k [9.3, 33.7] unaggregated (clean bisect of the two builds).
+        # Kernel-chained probes don't see the finalize/merge paying a wide
+        # top_k per batch. VSTPU_STAGE2_UNAGG=1 keeps the variant testable.
         return pallas_exact.exact_pool_scored_pallas(
             q, vectors, valid, ef_buf=ef_buf, metric=metric, xn2=xn2,
-            stage2_agg=False,
+            stage2_agg=not os.environ.get("VSTPU_STAGE2_UNAGG"),
         )
     scores = distance_ops.pairwise_rank_scores(
         q, vectors, valid, metric, precision=jax.lax.Precision.HIGHEST
@@ -717,6 +723,7 @@ class VectorIndex:
         # the remote compiles contend with ingest's own tunnel traffic),
         # and a never-queried index never needs these programs.
         self._sync_ladder_warmed = False
+        self._sync_ladder_done = threading.Event()
 
     # ------------------------------------------------------------- lifecycle
 
@@ -1498,11 +1505,25 @@ class VectorIndex:
                     seg.warm_update_programs()
             except Exception:
                 LOG.debug("sync-ladder warm failed", exc_info=True)
+            finally:
+                self._sync_ladder_done.set()
 
         try:
             self._executor().submit(run)
         except Exception:
             self._sync_ladder_warmed = False
+            self._sync_ladder_done.set()
+
+    def wait_sync_ladder(self, timeout: float = 120.0) -> bool:
+        """Blocks until the first-query sync-ladder warm finishes (no-op
+        True if it never started). Benchmark harnesses call this between
+        their warm-up queries and their measured windows — the ladder is
+        ~15-25 s of remote compiles that would otherwise contend with the
+        measurement (a mid-window compile costs serving throughput even
+        when it isn't on a query's critical path)."""
+        if not self._sync_ladder_warmed:
+            return True
+        return self._sync_ladder_done.wait(timeout)
 
     def _schedule_shape_warm(self) -> None:
         """Schedules one background dummy query at the last-seen query

@@ -194,8 +194,14 @@ class VectorStore:
                 ),
                 default=0,
             )
-            if serving and backlog > _SYNC_CHUNK:
-                # re-queue and drain again immediately
+            if (
+                serving and backlog > 2 * _SYNC_CHUNK
+                and not os.environ.get("VSTPU_NO_EAGER_SYNC")
+            ):
+                # outpaced by >2 chunks even after a full drain: re-queue
+                # and drain again immediately. The 2x margin keeps moderate
+                # writers (glove-rate live inserts) in the throttled regime,
+                # where the query path's small inline syncs pace themselves.
                 with self._flag_cv:
                     self._flag_dirty.update(dirty)
                 continue
