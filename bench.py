@@ -454,11 +454,11 @@ def bench_deep10m():
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
     time.sleep(1.0)
-    # 8 windows: >=1M mutations land inside the measured span at the pinned
-    # 24k/s rate (the churn-capacity claim is "serving X QPS with >=1M live
-    # mutations applied", ROADMAP r4/r5)
+    # 9 windows: >=1M mutations land inside the run at the pinned 24k/s
+    # rate (the churn-capacity claim is "serving X QPS with >=1M live
+    # mutations applied", ROADMAP r4/r5; 8 windows measured 988k)
     qps, lo, hi = measure_qps(idx, np.concatenate([q] * 4), k, batch=512,
-                              seconds=5.0, windows=8, params=params,
+                              seconds=5.0, windows=9, params=params,
                               in_flight=8)
     stop[0] = True
     wt.join()
